@@ -1,0 +1,70 @@
+"""JAX CLAHE kernel vs the numpy oracle (executable skimage specification)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cell_image_analysis_tpu.ops.clahe import clahe_cells
+from cell_image_analysis_tpu.ops.oracle.clahe_np import (
+    clip_histogram,
+    equalize_adapthist_np,
+)
+
+
+def _run_batch(imgs, cap=192):
+    crops = np.zeros((len(imgs), cap, cap), np.float32)
+    hs, ws = [], []
+    for i, im in enumerate(imgs):
+        h, w = im.shape
+        crops[i, :h, :w] = im
+        crops[i, h:, :] = 1e9  # padding garbage must not affect results
+        hs.append(h)
+        ws.append(w)
+    out = np.asarray(
+        clahe_cells(jnp.asarray(crops), jnp.asarray(np.array(hs, np.int32)), jnp.asarray(np.array(ws, np.int32)))
+    )
+    return [out[i, : imgs[i].shape[0], : imgs[i].shape[1]] for i in range(len(imgs))]
+
+
+def test_clip_histogram_conserves_mass(rng):
+    hist = rng.integers(0, 300, size=256)
+    total = hist.sum()
+    clipped = clip_histogram(hist, 50)
+    assert clipped.sum() == total or (clipped == 50).all()
+    assert clipped.max() <= 50 or clipped.max() <= hist.max()
+
+
+def test_clahe_matches_oracle_various_sizes(rng):
+    sizes = [(64, 64), (150, 97), (33, 41), (17, 23), (192, 192), (80, 16)]
+    imgs = [(rng.uniform(size=s) * 4000).astype(np.uint16).astype(np.float32) for s in sizes]
+    outs = _run_batch(imgs)
+    for im, out in zip(imgs, outs):
+        ref = equalize_adapthist_np(im, clip_limit=0.02)
+        np.testing.assert_allclose(out, ref, atol=2e-4, err_msg=f"size {im.shape}")
+
+
+def test_clahe_uint16_vs_float_invariance(rng):
+    # the per-crop min-max quantization makes the result invariant to any
+    # positive affine transform of the input
+    im = (rng.uniform(size=(70, 55)) * 4000).astype(np.uint16).astype(np.float32)
+    a = _run_batch([im])[0]
+    b = _run_batch([im * 3.7 + 100.0])[0]
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_clahe_flat_image_is_zero(rng):
+    im = np.full((40, 40), 7.0, np.float32)
+    out = _run_batch([im])[0]
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_clahe_enhances_local_contrast(rng):
+    # low-contrast texture riding a strong illumination gradient: after CLAHE
+    # the texture in the dim half should span a much larger fraction of the
+    # output range than plain min-max scaling would give it
+    texture = rng.uniform(size=(64, 64)).astype(np.float32)
+    ramp = np.linspace(1.0, 8.0, 64, dtype=np.float32)[None, :]
+    im = texture + ramp
+    out = _run_batch([im])[0]
+    dim_half = out[:, :24]
+    minmax_span = (im[:, :24].max() - im[:, :24].min()) / (im.max() - im.min())
+    assert dim_half.max() - dim_half.min() > 1.5 * minmax_span
