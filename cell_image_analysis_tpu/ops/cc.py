@@ -1,0 +1,83 @@
+"""Connected-component labeling on device.
+
+Used by the "threshold" segmentation backend (SegConfig.backend='threshold')
+— the in-framework fallback when no trained StarDist-style U-Net weights are
+available — and by tests as a device counterpart of scipy.ndimage.label.
+
+Algorithm: iterative min-label propagation.  Each foreground pixel starts
+with its own linear index + 1; every sweep replaces a pixel's label with the
+minimum over itself and its foreground neighbors (4- or 8-connectivity).
+Convergence takes O(longest geodesic path) sweeps — bounded and fast for
+blob-like cells — and runs as a `lax.while_loop` with a change flag, so XLA
+keeps the whole loop on device.  A final compaction pass renumbers components
+to 1..K via a cumulative count of root labels (root = pixel whose final label
+equals its own index + 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.iinfo(jnp.int32).max
+
+
+def _neighbor_min(lbl: jax.Array, connectivity: int) -> jax.Array:
+    """Min positive label over the neighborhood (INF where none)."""
+    shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        shifts += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    masked = jnp.where(lbl > 0, lbl, _INF)
+    best = masked
+    for dr, dc in shifts:
+        rolled = jnp.roll(masked, (dr, dc), axis=(0, 1))
+        # cancel wrap-around rows/cols
+        if dr == 1:
+            rolled = rolled.at[0, :].set(_INF)
+        elif dr == -1:
+            rolled = rolled.at[-1, :].set(_INF)
+        if dc == 1:
+            rolled = rolled.at[:, 0].set(_INF)
+        elif dc == -1:
+            rolled = rolled.at[:, -1].set(_INF)
+        best = jnp.minimum(best, rolled)
+    return best
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def label_components(mask: jax.Array, connectivity: int = 1) -> tuple[jax.Array, jax.Array]:
+    """Label connected components of a boolean (H, W) mask.
+
+    Returns (labels, count): labels is int32 with background 0 and components
+    numbered 1..count in raster order of their topmost-leftmost pixel
+    (matching scipy.ndimage.label's numbering).
+    """
+    h, w = mask.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + jax.lax.broadcasted_iota(
+        jnp.int32, (h, w), 1
+    )
+    lbl0 = jnp.where(mask, idx + 1, 0)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        lbl, _ = state
+        nm = _neighbor_min(lbl, connectivity)
+        new = jnp.where(mask, jnp.minimum(jnp.where(lbl > 0, lbl, _INF), nm), 0)
+        new = jnp.where(new == _INF, 0, new)
+        return new, jnp.any(new != lbl)
+
+    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
+
+    # compact to 1..K in raster order of component minima
+    flat = lbl.reshape(-1)
+    is_root = jnp.zeros(h * w + 1, dtype=jnp.int32).at[flat].set(1).at[0].set(0)
+    # is_root[i+1] == 1 iff some component's min linear index is i
+    prefix = jnp.cumsum(is_root)
+    compact = jnp.where(mask, prefix[flat].reshape(h, w), 0)
+    count = prefix[-1]
+    return compact.astype(jnp.int32), count

@@ -1,0 +1,129 @@
+"""Region properties of an instance label map via segment reductions.
+
+TPU-native replacement for the `skimage.measure.regionprops` calls in the QC
+loop (CAE_improved_modeltrain.py:59, improved_detection.py:67).  The
+reference iterates regions in Python (SURVEY.md hot loop #2); here every
+property of every region is computed at once with `segment_sum/min/max` over
+the flattened label map — one fused pass per frame, static output capacity.
+
+Properties produced (exactly the ones the reference QC gates + stats recorder
+consume):
+  area, bbox (min_r, min_c, max_r, max_c — max exclusive, skimage
+  convention), centroid, eccentricity (central-moment inertia eigenvalues,
+  skimage formula).
+
+Intensity mean/std over the bbox *rectangle* (reference semantics,
+CAE_improved_modeltrain.py:80-84: stats of the unmasked crop) are computed
+later from the gathered crops (ops/extract.py) where float32 is exact;
+solidity (report-only) is host-side (ops/oracle/regionprops_np.convex_area).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RegionProps(NamedTuple):
+    """Arrays indexed by label-1, length = capacity; `valid` marks labels that
+    exist (area > 0)."""
+
+    area: jax.Array          # (K,) int32
+    min_r: jax.Array         # (K,) int32
+    min_c: jax.Array
+    max_r: jax.Array         # exclusive
+    max_c: jax.Array
+    centroid_r: jax.Array    # (K,) float32
+    centroid_c: jax.Array
+    eccentricity: jax.Array  # (K,) float32
+    valid: jax.Array         # (K,) bool
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def regionprops(labels: jax.Array, capacity: int) -> RegionProps:
+    """Compute properties for labels 1..capacity of an (H, W) int32 map."""
+    h, w = labels.shape
+    seg = labels.reshape(-1) - 1  # -1 -> background, routed to dump segment
+    seg = jnp.where(seg < 0, capacity, seg)
+    seg = jnp.minimum(seg, capacity)  # labels beyond capacity also dumped
+    n_seg = capacity + 1
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+    ones = jnp.ones_like(seg)
+
+    ssum = lambda x: jax.ops.segment_sum(x, seg, num_segments=n_seg)[:capacity]
+    smin = lambda x: jax.ops.segment_min(x, seg, num_segments=n_seg)[:capacity]
+    smax = lambda x: jax.ops.segment_max(x, seg, num_segments=n_seg)[:capacity]
+
+    area = ssum(ones)
+    valid = area > 0
+    areaf = jnp.maximum(area, 1).astype(jnp.float32)
+
+    min_r, min_c = smin(rr), smin(cc)
+    max_r, max_c = smax(rr) + 1, smax(cc) + 1
+    # empty segments: segment_min yields the dtype max; normalize to zeros
+    min_r = jnp.where(valid, min_r, 0)
+    min_c = jnp.where(valid, min_c, 0)
+    max_r = jnp.where(valid, max_r, 0)
+    max_c = jnp.where(valid, max_c, 0)
+
+    rf = rr.astype(jnp.float32)
+    cf = cc.astype(jnp.float32)
+    sr, sc = ssum(rf), ssum(cf)
+    cy, cx = sr / areaf, sc / areaf
+    # central second moments in two passes: gathering each pixel's segment
+    # centroid keeps the deltas small, avoiding the float32 cancellation of
+    # the parallel-axis form (sum r^2 overflows the 24-bit mantissa on large
+    # frames)
+    cy_full = jnp.concatenate([cy, jnp.zeros((1,), cy.dtype)])
+    cx_full = jnp.concatenate([cx, jnp.zeros((1,), cx.dtype)])
+    dr = rf - cy_full[seg]
+    dc = cf - cx_full[seg]
+    mu20 = ssum(dr * dr) / areaf
+    mu02 = ssum(dc * dc) / areaf
+    mu11 = ssum(dr * dc) / areaf
+
+    t = (mu20 + mu02) / 2.0
+    d = jnp.sqrt(((mu20 - mu02) / 2.0) ** 2 + mu11 ** 2)
+    l1, l2 = t + d, t - d
+    ecc = jnp.where(l1 > 0, jnp.sqrt(jnp.clip(1.0 - l2 / jnp.maximum(l1, 1e-20), 0.0, 1.0)), 0.0)
+
+    return RegionProps(
+        area=area,
+        min_r=min_r,
+        min_c=min_c,
+        max_r=max_r,
+        max_c=max_c,
+        centroid_r=jnp.where(valid, cy, 0.0),
+        centroid_c=jnp.where(valid, cx, 0.0),
+        eccentricity=jnp.where(valid, ecc, 0.0),
+        valid=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def qc_mask(
+    props: RegionProps,
+    height: jax.Array,
+    width: jax.Array,
+    border_margin: int = 10,
+    min_area: int = 200,
+    max_area: int = 8000,
+    max_eccentricity: float = 0.95,
+) -> jax.Array:
+    """Geometric QC gates (CAE_improved_modeltrain.py:68-77): border margin
+    against the label-map shape, area window, eccentricity ceiling.  Intensity
+    gates are applied downstream on gathered crops."""
+    border_ok = (
+        (props.min_r >= border_margin)
+        & (props.min_c >= border_margin)
+        & (props.max_r <= height - border_margin)
+        & (props.max_c <= width - border_margin)
+    )
+    area_ok = (props.area >= min_area) & (props.area <= max_area)
+    ecc_ok = props.eccentricity <= max_eccentricity
+    return props.valid & border_ok & area_ok & ecc_ok
