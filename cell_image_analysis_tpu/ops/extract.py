@@ -1,0 +1,121 @@
+"""Batched per-frame cell extraction — the pipeline's kernel, fused on device.
+
+Reference: `extract_quality_cells` (CAE_improved_modeltrain.py:39-111,
+duplicated at improved_detection.py:48-115).  The reference loops regions in
+Python (SURVEY.md hot loop #2 — "the throughput killer"); here one jitted
+graph per frame does: regionprops -> geometric QC -> capacity-bounded crop
+gather -> raw-intensity QC (bbox-rectangle mean/std, reference semantics) ->
+CLAHE -> anti-aliased 64x64 resize, emitting a fixed-capacity batch of cell
+tensors + validity mask + per-cell stats.  Variable cell counts stay static
+for XLA via capacity buffers and masks (SURVEY.md section 2.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cell_image_analysis_tpu.ops.clahe import clahe_cells
+from cell_image_analysis_tpu.ops.regionprops import qc_mask, regionprops
+from cell_image_analysis_tpu.ops.resize import resize_cells
+
+
+class ExtractedCells(NamedTuple):
+    cells: jax.Array       # (C, out, out) float32 in [0,1]
+    valid: jax.Array       # (C,) bool
+    label_ids: jax.Array   # (C,) int32 original label (1-based); 0 if unused slot
+    area: jax.Array        # (C,) int32
+    eccentricity: jax.Array  # (C,) float32
+    mean_intensity: jax.Array  # (C,) float32 — raw bbox-crop mean
+    std_intensity: jax.Array   # (C,) float32 — raw bbox-crop std (ddof=0)
+    n_candidates: jax.Array    # () int32 — geometric-QC survivors (pre-intensity)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "label_capacity", "cell_capacity", "crop_capacity", "out_size",
+        "border_margin", "min_area", "max_area",
+    ),
+)
+def extract_cells(
+    labels: jax.Array,
+    green: jax.Array,
+    label_capacity: int = 1024,
+    cell_capacity: int = 512,
+    crop_capacity: int = 192,
+    out_size: int = 64,
+    border_margin: int = 10,
+    min_area: int = 200,
+    max_area: int = 8000,
+    max_eccentricity: float = 0.95,
+    min_mean_intensity: float = 0.5,
+    min_std_intensity: float = 0.1,
+) -> ExtractedCells:
+    """labels: (H, W) int32 instance map; green: (H, W) raw analysis channel."""
+    h, w = labels.shape
+    green = green.astype(jnp.float32)
+
+    props = regionprops(labels, capacity=label_capacity)
+    geo = qc_mask(
+        props, jnp.int32(h), jnp.int32(w),
+        border_margin=border_margin, min_area=min_area, max_area=max_area,
+        max_eccentricity=max_eccentricity,
+    )
+
+    # capacity-bounded candidate selection, ascending label order (matches the
+    # reference's regionprops iteration order)
+    sel = jnp.nonzero(geo, size=cell_capacity, fill_value=label_capacity)[0]
+    in_range = sel < label_capacity
+    sel_c = jnp.minimum(sel, label_capacity - 1)
+
+    minr = props.min_r[sel_c]
+    minc = props.min_c[sel_c]
+    ch = props.max_r[sel_c] - minr
+    cw = props.max_c[sel_c] - minc
+    fits = (ch <= crop_capacity) & (cw <= crop_capacity)
+    cand = in_range & fits
+    ch = jnp.clip(ch, 1, crop_capacity)
+    cw = jnp.clip(cw, 1, crop_capacity)
+
+    # gather raw crops with dynamic slices from a padded frame
+    padded = jnp.pad(green, ((0, crop_capacity), (0, crop_capacity)))
+
+    def one_crop(r0, c0):
+        return jax.lax.dynamic_slice(padded, (r0, c0), (crop_capacity, crop_capacity))
+
+    crops = jax.vmap(one_crop)(minr, minc)  # (C, cap, cap)
+
+    # raw-intensity QC over the bbox rectangle (reference semantics:
+    # np.mean/np.std of the unmasked crop, CAE_improved_modeltrain.py:80-87)
+    ar = jnp.arange(crop_capacity)
+    rect = (ar[None, :, None] < ch[:, None, None]) & (ar[None, None, :] < cw[:, None, None])
+    area_rect = jnp.maximum((ch * cw).astype(jnp.float32), 1.0)
+    s1 = jnp.sum(jnp.where(rect, crops, 0.0), axis=(1, 2))
+    mean = s1 / area_rect
+    centered = jnp.where(rect, crops - mean[:, None, None], 0.0)
+    var = jnp.sum(centered * centered, axis=(1, 2)) / area_rect
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    intensity_ok = (mean >= min_mean_intensity) & (std >= min_std_intensity)
+
+    valid = cand & intensity_ok
+
+    # CLAHE + anti-aliased resize (the reference per-cell preprocessing,
+    # CAE_improved_modeltrain.py:92-93)
+    eq = clahe_cells(crops, ch, cw)
+    cells = resize_cells(eq, ch, cw, out_size=out_size)
+    cells = jnp.where(valid[:, None, None], cells, 0.0)
+
+    return ExtractedCells(
+        cells=cells,
+        valid=valid,
+        label_ids=jnp.where(valid, sel_c + 1, 0).astype(jnp.int32),
+        area=jnp.where(valid, props.area[sel_c], 0),
+        eccentricity=jnp.where(valid, props.eccentricity[sel_c], 0.0),
+        mean_intensity=jnp.where(valid, mean, 0.0),
+        std_intensity=jnp.where(valid, std, 0.0),
+        n_candidates=jnp.sum(cand.astype(jnp.int32)),
+    )
