@@ -1,0 +1,132 @@
+"""Command-line entry points.
+
+The reference has no CLI — users edit hard-coded paths in `main()`
+(CAE_improved_modeltrain.py:482-483, improved_detection.py:409-420;
+README.md:10-18).  This framework keeps the `python <entrypoint>` ergonomics
+while exposing every constant as a flag whose default is the reference value:
+
+  python -m cell_image_analysis_tpu.cli train  INPUT_FOLDER --output OUT
+  python -m cell_image_analysis_tpu.cli screen --models DIR \
+         --sample strain1=/path/a --sample strain2=/path/b --output OUT
+  python -m cell_image_analysis_tpu.cli bench  [--frames N --size S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from datetime import datetime
+
+
+def _apply_overrides(config, args):
+    qc = dataclasses.replace(
+        config.qc,
+        min_area=args.min_area, max_area=args.max_area,
+        max_eccentricity=args.max_eccentricity, border_margin=args.border_margin,
+        min_mean_intensity=args.min_mean_intensity, min_std_intensity=args.min_std_intensity,
+    )
+    seg = dataclasses.replace(config.seg, backend=args.backend)
+    train = dataclasses.replace(config.train, epochs=args.epochs, batch_size=args.batch_size)
+    det = dataclasses.replace(
+        config.detector, nu_conservative=args.nu_conservative, nu_moderate=args.nu_moderate
+    )
+    return dataclasses.replace(config, qc=qc, seg=seg, train=train, detector=det)
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--backend", default="threshold", choices=["threshold", "stardist"],
+                   help="segmentation backend (stardist needs trained/ported U-Net weights)")
+    p.add_argument("--unet-weights", default=None, help="path to U-Net weights artifact")
+    p.add_argument("--border-margin", type=int, default=10)
+    p.add_argument("--min-area", type=int, default=200)
+    p.add_argument("--max-area", type=int, default=8000)
+    p.add_argument("--max-eccentricity", type=float, default=0.95)
+    p.add_argument("--min-mean-intensity", type=float, default=0.5)
+    p.add_argument("--min-std-intensity", type=float, default=0.1)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--nu-conservative", type=float, default=0.05)
+    p.add_argument("--nu-moderate", type=float, default=0.10)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard over the first N devices (0 = single device)")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cell_image_analysis_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    pt = sub.add_parser("train", help="CAE training pipeline (reference: CAE_improved_modeltrain.py)")
+    pt.add_argument("input_folder")
+    pt.add_argument("--output", default=None)
+    _add_common(pt)
+
+    ps = sub.add_parser("screen", help="mutant screening pipeline (reference: improved_detection.py)")
+    ps.add_argument("--models", required=True, help="training output dir (artifact contract)")
+    ps.add_argument("--sample", action="append", default=[], metavar="NAME=FOLDER")
+    ps.add_argument("--output", default=None)
+    _add_common(ps)
+
+    pb = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    pb.add_argument("--frames", type=int, default=8)
+    pb.add_argument("--size", type=int, default=1024)
+    pb.add_argument("--cells-per-frame", type=int, default=80)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "bench":
+        from cell_image_analysis_tpu.utils.bench import run_bench
+
+        print(run_bench(n_frames=args.frames, size=args.size, n_cells=args.cells_per_frame))
+        return 0
+
+    from cell_image_analysis_tpu.config import PipelineConfig
+
+    config = _apply_overrides(PipelineConfig(), args)
+    unet_variables = None
+    if args.unet_weights:
+        from cell_image_analysis_tpu.io.artifacts import load_cae  # generic pytree loader
+
+        unet_variables = load_cae(args.unet_weights)[1]
+    mesh = None
+    if args.mesh:
+        from cell_image_analysis_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+
+    stamp = datetime.now().strftime("%Y%m%d_%H%M")
+    if args.command == "train":
+        from cell_image_analysis_tpu.pipeline.training import ImprovedAnomalyDetectionTraining
+
+        out = args.output or f"./output/{stamp}"
+        trainer = ImprovedAnomalyDetectionTraining(out, config, unet_variables, mesh=mesh)
+        ok = trainer.run(args.input_folder)
+        return 0 if ok else 1
+
+    if args.command == "screen":
+        from cell_image_analysis_tpu.pipeline.screening import ProductionMutantScreening
+
+        samples = {}
+        for s in args.sample:
+            name, _, folder = s.partition("=")
+            if not folder:
+                parser.error(f"--sample must be NAME=FOLDER, got {s!r}")
+            samples[name] = folder
+        if not samples:
+            parser.error("at least one --sample NAME=FOLDER is required")
+        out = args.output or f"./results/{stamp}_improved_screening"
+        screener = ProductionMutantScreening(args.models, config, unet_variables, mesh=mesh)
+        results, _ = screener.screen_mutant_samples(samples, out)
+        print("\n=== SCREENING COMPLETED ===")
+        print(f"Results saved to: {out}")
+        print("\nQUICK SUMMARY:")
+        print(f"{'Sample':<15} {'Conservative':<12} {'Moderate':<12}")
+        print("-" * 40)
+        for name, r in results.items():
+            print(f"{name:<15} {r['conservative_anomaly_rate'] * 100:>8.1f}% "
+                  f"{r['moderate_anomaly_rate'] * 100:>10.1f}%")
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

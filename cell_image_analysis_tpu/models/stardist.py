@@ -1,0 +1,98 @@
+"""StarDist-style `predict_instances`: U-Net -> candidates -> NMS -> labels.
+
+The reference calls `stardist_model.predict_instances(normalized_seg)`
+(CAE_improved_modeltrain.py:54, improved_detection.py:63), which runs the
+pretrained TF U-Net, thresholds object probabilities (registered
+prob_thresh ~ 0.479), suppresses overlapping star polygons in C++ NMS
+(nms_thresh = 0.3), and rasterizes the survivors to an int label map.
+
+Here the entire chain is device-resident and jitted: percentile
+normalization (csbdeep defaults), the JAX U-Net (models/unet.py), top-K
+candidate selection (static shape), the fixpoint star-polygon NMS
+(ops/nms.py), and scatter rasterization (ops/rasterize.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cell_image_analysis_tpu.config import SegConfig
+from cell_image_analysis_tpu.models.unet import StarDistUNet
+from cell_image_analysis_tpu.ops.nms import star_nms
+from cell_image_analysis_tpu.ops.percentile import normalize_percentile
+from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons
+
+
+class InstanceDetails(NamedTuple):
+    """The `details` companion of predict_instances."""
+
+    points: jax.Array  # (K, 2) candidate centers (full-res coords)
+    dists: jax.Array   # (K, R)
+    probs: jax.Array   # (K,)
+    keep: jax.Array    # (K,) bool — surviving instances
+
+
+def _pad_to_multiple(x: jax.Array, m: int) -> jax.Array:
+    h, w = x.shape
+    ph = (-h) % m
+    pw = (-w) % m
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)), mode="reflect")
+    return x
+
+
+@partial(jax.jit, static_argnames=("model", "max_candidates", "prob_thresh", "nms_thresh",
+                                   "metric", "patch", "height", "width"))
+def _predict_instances_impl(
+    model: StarDistUNet,
+    variables: dict,
+    img: jax.Array,
+    height: int,
+    width: int,
+    max_candidates: int,
+    prob_thresh: float,
+    nms_thresh: float,
+    metric: str,
+    patch: int,
+):
+    gy, gx = model.grid
+    prob, dist = model.apply(variables, img[None, :, :, None], train=False)
+    prob, dist = prob[0], dist[0]          # (h', w'), (h', w', R)
+    hp, wp = prob.shape
+
+    flat = prob.reshape(-1)
+    top_p, top_i = jax.lax.top_k(flat, max_candidates)
+    valid = top_p > prob_thresh
+    rows = (top_i // wp).astype(jnp.float32) * gy
+    cols = (top_i % wp).astype(jnp.float32) * gx
+    centers = jnp.stack([rows, cols], axis=1)
+    cand_dists = dist.reshape(-1, dist.shape[-1])[top_i]
+    cand_dists = jnp.maximum(cand_dists, 1e-3)
+
+    keep = star_nms(centers, cand_dists, top_p, valid, nms_thresh=nms_thresh, metric=metric)
+    labels = rasterize_polygons(centers, cand_dists, top_p, keep, height, width, patch=patch)
+    return labels, InstanceDetails(points=centers, dists=cand_dists, probs=top_p, keep=keep)
+
+
+def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = SegConfig(),
+                      model: StarDistUNet | None = None, normalize: bool = True):
+    """Full predict_instances parity path.  `seg_channel` is the raw channel;
+    normalization uses csbdeep percentile defaults (cfg.norm_pmin/pmax)."""
+    if model is None:
+        model = StarDistUNet(n_rays=cfg.n_rays, depth=cfg.unet_depth,
+                             base_filters=cfg.base_filters, head_filters=cfg.head_filters,
+                             grid=cfg.grid)
+    h, w = seg_channel.shape
+    x = seg_channel
+    if normalize:
+        x = normalize_percentile(x, pmin=cfg.norm_pmin, pmax=cfg.norm_pmax)
+    x = _pad_to_multiple(x.astype(jnp.float32), 2 ** cfg.unet_depth)
+    return _predict_instances_impl(
+        model, variables, x, h, w,
+        max_candidates=cfg.max_candidates, prob_thresh=cfg.prob_thresh,
+        nms_thresh=cfg.nms_thresh, metric=cfg.nms_metric, patch=cfg.raster_patch,
+    )

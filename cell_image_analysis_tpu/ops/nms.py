@@ -1,0 +1,160 @@
+"""Star-polygon non-maximum suppression on device.
+
+Replaces StarDist's C++ `non_maximum_suppression` (inside `predict_instances`,
+CAE_improved_modeltrain.py:54) — SURVEY.md's highest-risk component: greedy
+suppression is sequential, so it runs as an iterative masked fixpoint whose
+result is *exactly* the greedy outcome (keep_i == no higher-scored kept
+polygon overlaps i; iterate until stable, convergence bounded by the longest
+suppression chain).
+
+Pairwise overlap between star polygons uses the star parametrization
+directly: a point p is inside polygon (c, r_0..r_{R-1}) iff |p - c| <=
+r(theta(p - c)) with linear interpolation between adjacent rays — an O(1)
+test, no rasterization.  The intersection is integrated on a fixed polar
+quadrature grid of polygon i (area-weighted), giving IoU or
+intersection-over-smaller estimates; the polygon areas themselves are exact
+(shoelace).  Quadrature resolution only perturbs near-threshold ties between
+near-duplicate candidates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_N_ANGLES = 24
+_N_RADII = 8
+_CHUNK = 32
+
+
+def polygon_vertices(centers: jax.Array, dists: jax.Array) -> jax.Array:
+    """(K, 2) centers + (K, R) radii -> (K, R, 2) vertices (row, col)."""
+    R = dists.shape[-1]
+    phi = jnp.arange(R, dtype=jnp.float32) * (2.0 * jnp.pi / R)
+    dy = dists * jnp.sin(phi)[None, :]
+    dx = dists * jnp.cos(phi)[None, :]
+    return jnp.stack([centers[:, 0:1] + dy, centers[:, 1:2] + dx], axis=-1)
+
+
+def polygon_areas(dists: jax.Array) -> jax.Array:
+    """Exact area of star polygons (shoelace in polar form):
+    sum_k 0.5 * r_k * r_{k+1} * sin(2 pi / R)."""
+    R = dists.shape[-1]
+    nxt = jnp.roll(dists, -1, axis=-1)
+    return 0.5 * jnp.sin(2.0 * jnp.pi / R) * jnp.sum(dists * nxt, axis=-1)
+
+
+def radius_at(dists: jax.Array, theta: jax.Array) -> jax.Array:
+    """Interpolated boundary radius of star polygons at angles theta.
+
+    dists: (..., R); theta: broadcastable to dists[..., 0].  The true star
+    polygon boundary between rays k and k+1 is a chord; we use linear
+    interpolation of the radius (StarDist's inside-test convention)."""
+    R = dists.shape[-1]
+    batch = jnp.broadcast_shapes(jnp.shape(theta), dists.shape[:-1])
+    theta = jnp.broadcast_to(theta, batch)
+    dists = jnp.broadcast_to(dists, batch + (R,))
+    t = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * R
+    k0 = jnp.floor(t).astype(jnp.int32) % R
+    k1 = (k0 + 1) % R
+    frac = t - jnp.floor(t)
+    r0 = jnp.take_along_axis(dists, k0[..., None], axis=-1)[..., 0]
+    r1 = jnp.take_along_axis(dists, k1[..., None], axis=-1)[..., 0]
+    return r0 * (1.0 - frac) + r1 * frac
+
+
+def _quadrature(dists_i: jax.Array, centers_i: jax.Array):
+    """Polar quadrature points + area weights inside polygons i.
+
+    Returns points (Ki, A*F, 2) and weights (Ki, A*F) with sum(w) ~ area."""
+    A, F = _N_ANGLES, _N_RADII
+    ang = (jnp.arange(A, dtype=jnp.float32) + 0.5) / A * 2.0 * jnp.pi
+    # radial midpoints of F equal-area annuli: f = sqrt((j+0.5)/F)
+    f = jnp.sqrt((jnp.arange(F, dtype=jnp.float32) + 0.5) / F)
+    rb = radius_at(dists_i[:, None, :].repeat(A, 1).reshape(-1, dists_i.shape[-1]),
+                   jnp.tile(ang, dists_i.shape[0]))  # (Ki*A,)
+    rb = rb.reshape(dists_i.shape[0], A)             # boundary radius per angle
+    rr = rb[:, :, None] * f[None, None, :]           # (Ki, A, F)
+    yy = centers_i[:, 0:1, None] + rr * jnp.sin(ang)[None, :, None]
+    xx = centers_i[:, 1:2, None] + rr * jnp.cos(ang)[None, :, None]
+    pts = jnp.stack([yy, xx], axis=-1).reshape(dists_i.shape[0], A * F, 2)
+    # each sample represents an equal-area cell of its angular sector:
+    # sector area = 0.5 * rb^2 * (2 pi / A); F equal-area pieces
+    w = (0.5 * rb * rb * (2.0 * jnp.pi / A) / F)[:, :, None].repeat(F, 2)
+    return pts, w.reshape(dists_i.shape[0], A * F)
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def overlap_matrix(centers: jax.Array, dists: jax.Array, metric: str = "iou") -> jax.Array:
+    """(K, K) pairwise overlap.  O[i, j] = overlap between polygons i and j
+    (diagonal zeroed).  metric: 'iou' or 'ios' (intersection over smaller)."""
+    K = centers.shape[0]
+    areas = polygon_areas(dists)
+
+    def chunk(ci, di):
+        pts, w = _quadrature(di, ci)                     # (C, S, 2), (C, S)
+        dy = pts[:, :, None, 0] - centers[None, None, :, 0]   # (C, S, K)
+        dx = pts[:, :, None, 1] - centers[None, None, :, 1]
+        rho = jnp.sqrt(dy * dy + dx * dx)
+        theta = jnp.arctan2(dy, dx)
+        rb = radius_at(dists[None, None, :, :], theta)   # (C, S, K)
+        inside = rho <= rb
+        inter = jnp.einsum("cs,csk->ck", w, inside.astype(jnp.float32))
+        return inter  # (C, K) estimated intersection areas
+
+    n_chunks = (K + _CHUNK - 1) // _CHUNK
+    pad = n_chunks * _CHUNK - K
+    c_p = jnp.pad(centers, ((0, pad), (0, 0)))
+    d_p = jnp.pad(dists, ((0, pad), (0, 0)), constant_values=1e-3)
+
+    def body(i, acc):
+        ci = jax.lax.dynamic_slice(c_p, (i * _CHUNK, 0), (_CHUNK, 2))
+        di = jax.lax.dynamic_slice(d_p, (i * _CHUNK, 0), (_CHUNK, dists.shape[-1]))
+        inter = chunk(ci, di)
+        return jax.lax.dynamic_update_slice(acc, inter, (i * _CHUNK, 0))
+
+    inter = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((n_chunks * _CHUNK, K), jnp.float32))
+    inter = inter[:K]
+    inter = jnp.minimum(inter, jnp.minimum(areas[:, None], areas[None, :]))
+    if metric == "ios":
+        denom = jnp.minimum(areas[:, None], areas[None, :])
+    else:
+        denom = areas[:, None] + areas[None, :] - inter
+    O = inter / jnp.maximum(denom, 1e-12)
+    return O * (1.0 - jnp.eye(K, dtype=O.dtype))
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def star_nms(
+    centers: jax.Array,
+    dists: jax.Array,
+    probs: jax.Array,
+    valid: jax.Array,
+    nms_thresh: float = 0.3,
+    metric: str = "iou",
+) -> jax.Array:
+    """Greedy NMS (exact fixpoint formulation).  Returns keep mask (K,)."""
+    K = probs.shape[0]
+    O = overlap_matrix(centers, dists, metric=metric)
+    over = O > nms_thresh
+
+    # "higher priority" = higher prob; ties broken by index (stable greedy)
+    p = jnp.where(valid, probs, -jnp.inf)
+    idx = jnp.arange(K)
+    higher = (p[:, None] > p[None, :]) | ((p[:, None] == p[None, :]) & (idx[:, None] < idx[None, :]))
+    sup = over & higher  # sup[j, i]: kept j would suppress i
+
+    def cond(state):
+        keep, changed = state
+        return changed
+
+    def body(state):
+        keep, _ = state
+        suppressed = jnp.any(sup & keep[:, None], axis=0)
+        new = valid & ~suppressed
+        return new, jnp.any(new != keep)
+
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True)))
+    return keep

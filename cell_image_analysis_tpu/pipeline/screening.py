@@ -1,0 +1,210 @@
+"""Screening entry point — `ProductionMutantScreening`, TPU-native + sharded.
+
+Stage-for-stage port of the reference screening pipeline
+(improved_detection.py:18-436): load the six-artifact contract, extract QC'd
+cells per strain folder through the fused device graph, score every cell with
+the single jitted scoring graph (CAE recon + encoder -> scaler -> PCA -> 2x
+SVM + ensemble + FFT), and emit the reference's CSVs/figures/report.
+
+Scoring batches are padded to a fixed chunk size so XLA compiles once; on a
+multi-chip mesh the chunk's batch dim shards over 'data' and the anomaly
+rates reduce with psum (parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cell_image_analysis_tpu.config import PipelineConfig
+from cell_image_analysis_tpu.io import artifacts
+from cell_image_analysis_tpu.io.ingest import FrameStream, list_tiffs
+from cell_image_analysis_tpu.models.segmentation import segment_frame
+from cell_image_analysis_tpu.ops.extract import extract_cells
+from cell_image_analysis_tpu.pipeline import reports
+from cell_image_analysis_tpu.pipeline.scoring import compute_anomaly_scores
+from cell_image_analysis_tpu.utils.profiler import StageTimer, ThroughputMeter
+
+_SCORE_CHUNK = 512  # fixed batch size -> one compilation
+
+
+class ProductionMutantScreening:
+    """Reference-equivalent screener (improved_detection.py:18)."""
+
+    def __init__(self, model_dir: str, config: PipelineConfig = PipelineConfig(),
+                 unet_variables=None, mesh=None):
+        self.model_dir = model_dir
+        self.config = config
+        self.unet_variables = unet_variables
+        self.mesh = mesh
+        self.timer = StageTimer()
+        self.meter = ThroughputMeter()
+        self.load_trained_models()
+
+    def load_trained_models(self):
+        """improved_detection.py:23-46 — the artifact contract."""
+        print("Loading trained models...")
+        (self.model, self.variables, self.scaler, self.pca,
+         self.detectors, self.ensemble) = artifacts.load_screening_artifacts(self.model_dir)
+        self.scoring_params = artifacts.build_scoring_params(
+            self.model, self.variables, self.scaler, self.pca, self.detectors, self.ensemble
+        )
+        if self.mesh is not None:
+            from cell_image_analysis_tpu.parallel.sharding import replicate
+            self.scoring_params = replicate(self.mesh, self.scoring_params)
+        print("All models loaded successfully!")
+
+    def extract_quality_cells(self, seg_channel: np.ndarray, green_channel: np.ndarray):
+        """Same fused graph as training (improved_detection.py:48-115 parity)."""
+        cfg = self.config
+        labels = segment_frame(jnp.asarray(seg_channel.astype(np.float32)), cfg.seg, self.unet_variables)
+        ex = extract_cells(
+            labels, jnp.asarray(green_channel.astype(np.float32)),
+            label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
+            cell_capacity=cfg.extract.cell_capacity,
+            crop_capacity=cfg.extract.crop_capacity,
+            out_size=cfg.extract.out_size,
+            border_margin=cfg.qc.border_margin,
+            min_area=cfg.qc.min_area,
+            max_area=cfg.qc.max_area,
+            max_eccentricity=cfg.qc.max_eccentricity,
+            min_mean_intensity=cfg.qc.min_mean_intensity,
+            min_std_intensity=cfg.qc.min_std_intensity,
+        )
+        valid = np.asarray(ex.valid)
+        cells = np.asarray(ex.cells)[valid]
+        stats = [
+            dict(area=int(a), eccentricity=float(e),
+                 mean_intensity=float(m), std_intensity=float(s))
+            for a, e, m, s in zip(
+                np.asarray(ex.area)[valid], np.asarray(ex.eccentricity)[valid],
+                np.asarray(ex.mean_intensity)[valid], np.asarray(ex.std_intensity)[valid],
+            )
+        ]
+        return cells, stats
+
+    def compute_anomaly_scores(self, cell_images: np.ndarray) -> dict:
+        """Chunked, padded, jitted scoring (improved_detection.py:117-153)."""
+        n = len(cell_images)
+        if n == 0:
+            return {}
+        out: dict = {}
+        chunks = []
+        for start in range(0, n, _SCORE_CHUNK):
+            block = np.asarray(cell_images[start : start + _SCORE_CHUNK], np.float32)
+            pad = _SCORE_CHUNK - len(block)
+            valid = np.ones(_SCORE_CHUNK, bool)
+            if pad:
+                block = np.concatenate([block, np.zeros((pad,) + block.shape[1:], np.float32)])
+                valid[len(valid) - pad :] = False
+            if self.mesh is not None:
+                from cell_image_analysis_tpu.parallel.sharding import shard_batch
+                block = shard_batch(self.mesh, block)
+            chunks.append(
+                compute_anomaly_scores(self.model, self.scoring_params, block, valid=valid)
+            )
+        keys_concat = [
+            "reconstruction_mse", "reconstruction_mae",
+            "conservative_predictions", "moderate_predictions",
+            "conservative_scores", "moderate_scores", "ensemble_predictions",
+            "fft_features",
+        ]
+        for k in keys_concat:
+            out[k] = np.concatenate([c[k] for c in chunks], axis=0)
+        for name in ("conservative", "moderate", "ensemble"):
+            out[f"{name}_anomaly_rate"] = float(np.mean(out[f"{name}_predictions"] == -1))
+        return out
+
+    def screen_mutant_samples(self, test_folders_dict: dict, output_dir: str):
+        """improved_detection.py:155-244."""
+        os.makedirs(output_dir, exist_ok=True)
+        print("=== Starting Mutant Screening with Improved Model ===")
+        reports.save_run_parameters(output_dir, self.config, {"samples": test_folders_dict})
+
+        results: dict = {}
+        detailed_results: list = []
+
+        for sample_name, folder_path in test_folders_dict.items():
+            print(f"\nProcessing {sample_name}...")
+            tif_files = list_tiffs(folder_path)
+            if not tif_files:
+                print(f"  No .tif files found in {folder_path}")
+                continue
+
+            sample_cells, file_summary = [], []
+            stream = FrameStream(tif_files)
+            self.meter.start()
+            for path, seg, green in stream:
+                filename = os.path.basename(path)
+                try:
+                    with self.timer.stage("extract_frame"):
+                        cells, stats = self.extract_quality_cells(seg, green)
+                except Exception as e:
+                    print(f"Error processing {path}: {e}")
+                    cells, stats = np.zeros((0, 64, 64), np.float32), []
+                sample_cells.append(cells)
+                file_summary.append(dict(
+                    filename=filename, cells_extracted=len(cells),
+                    mean_intensity=float(np.mean([s["mean_intensity"] for s in stats])) if stats else 0,
+                ))
+                print(f"  {filename}: {len(cells)} cells")
+            for path, err in stream.errors:
+                print(f"Error processing {path}: {err}")
+
+            cells = np.concatenate(sample_cells, axis=0) if sample_cells else np.zeros((0, 64, 64), np.float32)
+            print(f"  Total {sample_name} cells: {len(cells)}")
+            if len(cells) == 0:
+                print(f"  No quality cells extracted from {sample_name}")
+                self.meter.stop(0)
+                continue
+
+            with self.timer.stage("score_cells"):
+                scores = self.compute_anomaly_scores(cells)
+            self.meter.stop(len(cells))
+
+            results[sample_name] = dict(
+                sample_name=sample_name,
+                total_cells=len(cells),
+                files_processed=len(tif_files),
+                conservative_anomaly_rate=scores["conservative_anomaly_rate"],
+                moderate_anomaly_rate=scores["moderate_anomaly_rate"],
+                ensemble_anomaly_rate=scores["ensemble_anomaly_rate"],
+                mean_mse=float(np.mean(scores["reconstruction_mse"])),
+                std_mse=float(np.std(scores["reconstruction_mse"])),
+                mean_mae=float(np.mean(scores["reconstruction_mae"])),
+                std_mae=float(np.std(scores["reconstruction_mae"])),
+            )
+
+            for i in range(len(cells)):
+                detailed_results.append(dict(
+                    sample_name=sample_name,
+                    cell_id=i,
+                    mse=float(scores["reconstruction_mse"][i]),
+                    mae=float(scores["reconstruction_mae"][i]),
+                    conservative_anomaly=bool(scores["conservative_predictions"][i] == -1),
+                    moderate_anomaly=bool(scores["moderate_predictions"][i] == -1),
+                    ensemble_anomaly=bool(scores["ensemble_predictions"][i] == -1),
+                    conservative_score=float(scores["conservative_scores"][i]),
+                    moderate_score=float(scores["moderate_scores"][i]),
+                ))
+
+            print(f"    Conservative anomaly rate: {results[sample_name]['conservative_anomaly_rate'] * 100:.2f}%")
+            print(f"    Moderate anomaly rate: {results[sample_name]['moderate_anomaly_rate'] * 100:.2f}%")
+            print(f"    Mean MSE: {results[sample_name]['mean_mse']:.6f}")
+
+        self.save_and_visualize_results(results, detailed_results, output_dir)
+        if self.meter.items:
+            print(f"\nThroughput: {self.meter.rate:.1f} cells/sec")
+        print(self.timer.report())
+        return results, detailed_results
+
+    def save_and_visualize_results(self, results, detailed_results, output_dir):
+        """improved_detection.py:246-261."""
+        if not results:
+            return
+        results_df, detailed_df = reports.save_screening_csvs(output_dir, results, detailed_results)
+        reports.create_screening_visualizations(output_dir, results_df, detailed_df, self.config.triage)
+        reports.generate_screening_report(output_dir, results_df, self.config.triage)
