@@ -27,7 +27,10 @@ def _apply_overrides(config, args):
         min_mean_intensity=args.min_mean_intensity, min_std_intensity=args.min_std_intensity,
     )
     seg = dataclasses.replace(config.seg, backend=args.backend)
-    train = dataclasses.replace(config.train, epochs=args.epochs, batch_size=args.batch_size)
+    train = dataclasses.replace(
+        config.train, epochs=args.epochs, batch_size=args.batch_size,
+        min_cells=getattr(args, "min_cells", config.train.min_cells),
+    )
     det = dataclasses.replace(
         config.detector, nu_conservative=args.nu_conservative, nu_moderate=args.nu_moderate
     )
@@ -46,6 +49,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--min-std-intensity", type=float, default=0.1)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--min-cells", type=int, default=500,
+                   help="abort training below this many QC cells (reference: 500)")
     p.add_argument("--nu-conservative", type=float, default=0.05)
     p.add_argument("--nu-moderate", type=float, default=0.10)
     p.add_argument("--mesh", type=int, default=0,

@@ -1,0 +1,200 @@
+"""Benchmark rig: end-to-end screening throughput (cells/sec/chip).
+
+BASELINE.md: the reference publishes no numbers, so the CPU reference
+throughput is measured by this project (first build milestone) using the
+numpy/scipy/sklearn *oracle* implementations of the same algorithms — the
+same libraries the reference delegates to — over identical synthetic frames.
+The measured value is cached in CPU_BASELINE.json (committed) so `bench.py`
+reports a stable vs_baseline ratio on TPU.
+
+Benchmarked path (per frame): percentile normalize -> segmentation
+(threshold backend: threshold + connected components) -> regionprops + QC ->
+crop gather -> CLAHE -> anti-aliased 64x64 resize -> CAE forward ->
+encoder -> RobustScaler -> PCA -> 2x RBF-SVM decisions -> ensemble + FFT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "CPU_BASELINE.json",
+)
+
+
+def _make_frames(n_frames: int, size: int, n_cells: int, seed: int = 7):
+    from cell_image_analysis_tpu.utils.synthetic import make_frame
+
+    rng = np.random.default_rng(seed)
+    frames = [make_frame(rng, size=size, n_cells=n_cells) for _ in range(n_frames)]
+    return frames
+
+
+def _fit_params(seed: int = 0):
+    """Quick artifact fit on synthetic cells (not part of the timed path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cell_image_analysis_tpu.models.cae import encode, init_cae, reconstruction_errors
+    from cell_image_analysis_tpu.models.ensemble import EnsembleDetector
+    from cell_image_analysis_tpu.models.pca import PCA
+    from cell_image_analysis_tpu.models.scaler import RobustScaler
+    from cell_image_analysis_tpu.models.svm import OneClassSVM
+    from cell_image_analysis_tpu.pipeline.scoring import ScoringParams
+    from cell_image_analysis_tpu.utils.synthetic import make_cells
+
+    rng = np.random.default_rng(seed)
+    model, variables = init_cae(jax.random.PRNGKey(seed))
+    X = make_cells(rng, 256)[..., None]
+    feats = np.asarray(encode(model, variables, jnp.asarray(X)))
+    scaler = RobustScaler().fit(feats)
+    pca = PCA(n_components=64).fit(np.asarray(scaler.transform(feats)))
+    reduced = np.asarray(pca.transform(np.asarray(scaler.transform(feats))))
+    cons = OneClassSVM(nu=0.05).fit(reduced)
+    mod = OneClassSVM(nu=0.10).fit(reduced)
+    mse, _ = reconstruction_errors(model, variables, jnp.asarray(X))
+    ens = EnsembleDetector.fit(np.asarray(mse))
+    params = ScoringParams(
+        cae_variables=variables,
+        scaler_center=jnp.asarray(scaler.center_),
+        scaler_scale=jnp.asarray(scaler.scale_),
+        pca_mean=jnp.asarray(pca.mean_),
+        pca_components=jnp.asarray(pca.components_),
+        svm_conservative=cons.params,
+        svm_moderate=mod.params,
+        ensemble_mse_threshold=jnp.float32(ens.mse_threshold),
+    )
+    host = dict(model=model, variables=variables, scaler=scaler, pca=pca,
+                cons=cons, mod=mod, ens=ens)
+    return model, params, host
+
+
+def _tpu_frame_fn(model, params, cell_capacity: int = 256):
+    """One jitted frame->scores step (segmentation+extraction+scoring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cell_image_analysis_tpu.models.segmentation import threshold_segment
+    from cell_image_analysis_tpu.ops.extract import extract_cells
+    from cell_image_analysis_tpu.pipeline.scoring import score_cells
+
+    @jax.jit
+    def frame_fn(seg_channel, green):
+        labels = threshold_segment(seg_channel)
+        ex = extract_cells(labels, green, cell_capacity=cell_capacity)
+        scores = score_cells(model, params, ex.cells[..., None])
+        n_anom = jnp.sum((scores.conservative_predictions == -1) & ex.valid)
+        n_valid = jnp.sum(ex.valid)
+        return n_valid, n_anom, scores.reconstruction_mse
+
+    return frame_fn
+
+
+def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    model, params, _ = _fit_params()
+    frames = _make_frames(n_frames, size, n_cells)
+    frame_fn = _tpu_frame_fn(model, params)
+
+    devs = [(jnp.asarray(f[..., 2].astype(np.float32)), jnp.asarray(f[..., 1].astype(np.float32)))
+            for f in frames]
+
+    # warmup / compile
+    nv, na, _ = frame_fn(*devs[0])
+    jax.block_until_ready((nv, na))
+
+    t0 = time.perf_counter()
+    total = 0
+    for seg, green in devs:
+        nv, na, mse = frame_fn(seg, green)
+        total += int(nv)
+    jax.block_until_ready(mse)
+    dt = time.perf_counter() - t0
+    return dict(cells=total, seconds=dt, cells_per_sec=total / dt,
+                frames_per_sec=n_frames / dt, n_frames=n_frames, size=size)
+
+
+def run_cpu_reference(n_frames: int = 2, size: int = 1024, n_cells: int = 80) -> dict:
+    """The same pipeline with the CPU oracle implementations (numpy/scipy/
+    sklearn) — the measured stand-in for the reference's CPU stack."""
+    from scipy import ndimage as ndi
+
+    from cell_image_analysis_tpu.ops.oracle.clahe_np import equalize_adapthist_np
+    from cell_image_analysis_tpu.ops.oracle.regionprops_np import regionprops_np
+
+    def resize_oracle(img, out=64):
+        factors = np.array([img.shape[0] / out, img.shape[1] / out])
+        sigma = np.maximum(0.0, (factors - 1.0) / 2.0)
+        x = img.astype(np.float64)
+        if np.any(sigma > 0):
+            x = ndi.gaussian_filter(x, sigma, mode="mirror")
+        return ndi.zoom(x, (out / img.shape[0], out / img.shape[1]), order=1,
+                        mode="mirror", grid_mode=True)
+
+    model, params, host = _fit_params()
+    frames = _make_frames(n_frames, size, n_cells)
+
+    import jax.numpy as jnp
+    from cell_image_analysis_tpu.models.cae import encode, reconstruction_errors
+
+    t0 = time.perf_counter()
+    total = 0
+    for f in frames:
+        seg = f[..., 2].astype(np.float64)
+        green = f[..., 1].astype(np.float64)
+        lo, hi = np.percentile(seg, 3), np.percentile(seg, 99.8)
+        norm = (seg - lo) / (hi - lo + 1e-20)
+        thresh = np.percentile(norm, 90.0)
+        labels, _ = ndi.label(norm > thresh)
+        h, w = labels.shape
+        cells = []
+        for p in regionprops_np(labels, green):
+            minr, minc, maxr, maxc = p["bbox"]
+            if minr < 10 or minc < 10 or maxr > h - 10 or maxc > w - 10:
+                continue
+            if p["area"] < 200 or p["area"] > 8000 or p["eccentricity"] > 0.95:
+                continue
+            crop = green[minr:maxr, minc:maxc]
+            if crop.mean() < 0.5 or crop.std() < 0.1:
+                continue
+            cells.append(resize_oracle(equalize_adapthist_np(crop)))
+        if not cells:
+            continue
+        X = np.stack(cells).astype(np.float32)[..., None]
+        # scoring via the host-side fitted estimators (sklearn-equivalent path)
+        mse, mae = (np.asarray(a) for a in
+                    reconstruction_errors(model, params.cae_variables, jnp.asarray(X)))
+        feats = np.asarray(encode(model, params.cae_variables, jnp.asarray(X)))
+        reduced = host["pca"].transform(np.asarray(host["scaler"].transform(feats)))
+        host["cons"].predict(np.asarray(reduced))
+        host["mod"].predict(np.asarray(reduced))
+        total += len(cells)
+    dt = time.perf_counter() - t0
+    return dict(cells=total, seconds=dt, cells_per_sec=total / dt, n_frames=n_frames, size=size)
+
+
+def load_cpu_baseline() -> float | None:
+    if os.path.exists(_BASELINE_PATH):
+        with open(_BASELINE_PATH) as f:
+            return json.load(f)["cells_per_sec"]
+    return None
+
+
+def run_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80) -> str:
+    res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells)
+    base = load_cpu_baseline()
+    vs = res["cells_per_sec"] / base if base else None
+    out = {
+        "metric": "screening_cells_per_sec_per_chip",
+        "value": round(res["cells_per_sec"], 2),
+        "unit": "cells/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
+    return json.dumps(out)
