@@ -16,6 +16,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from cell_image_analysis_tpu.utils import jaxcache
+
+jaxcache.enable()
+
 from cell_image_analysis_tpu.utils.bench import run_bench
 
 if __name__ == "__main__":

@@ -79,6 +79,10 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    from cell_image_analysis_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
     if args.command == "bench":
         from cell_image_analysis_tpu.utils.bench import run_bench
 

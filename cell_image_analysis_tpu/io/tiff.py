@@ -16,11 +16,46 @@ readers (PIL oracle in tests).
 
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
 import zlib
 from typing import BinaryIO
 
 import numpy as np
+
+_NATIVE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "build", "libcia_native.so",
+)
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is None and os.path.exists(_NATIVE_PATH):
+        lib = ctypes.CDLL(_NATIVE_PATH)
+        for fn in (lib.lzw_decode, lib.packbits_decode):
+            fn.restype = ctypes.c_long
+            fn.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                           ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+        _native = lib
+    return _native
+
+
+def _native_decode(fn_name: str, data: bytes, expected: int) -> bytes | None:
+    lib = _load_native()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(expected, dtype=np.uint8)
+    n = getattr(lib, fn_name)(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_long(len(src)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ctypes.c_long(expected),
+    )
+    if n < 0:
+        return None  # malformed for the fast path; Python decoder will retry
+    return dst[:n].tobytes()
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
@@ -128,9 +163,11 @@ def _decompress(data: bytes, compression: int, expected: int) -> bytes:
     if compression == 1:
         return data
     if compression == 32773:
-        return _unpackbits(data, expected)
+        fast = _native_decode("packbits_decode", data, expected)
+        return fast if fast is not None else _unpackbits(data, expected)
     if compression == 5:
-        return _lzw_decode(data, expected)
+        fast = _native_decode("lzw_decode", data, expected)
+        return fast if fast is not None else _lzw_decode(data, expected)
     if compression in (8, 32946):  # zlib/deflate
         return zlib.decompress(data)
     raise ValueError(f"unsupported TIFF compression {compression}")

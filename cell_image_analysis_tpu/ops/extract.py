@@ -23,6 +23,22 @@ from cell_image_analysis_tpu.ops.regionprops import qc_mask, regionprops
 from cell_image_analysis_tpu.ops.resize import resize_cells
 
 
+class Candidates(NamedTuple):
+    """Stage-A output: QC'd candidate crops in compacted (ascending-label)
+    order, before CLAHE/resize.  All arrays have leading dim = cell_capacity."""
+
+    crops: jax.Array       # (C, cap, cap) raw green crops
+    heights: jax.Array     # (C,) int32
+    widths: jax.Array      # (C,) int32
+    valid: jax.Array       # (C,) bool — passed geometry + intensity QC
+    label_ids: jax.Array   # (C,) int32
+    area: jax.Array
+    eccentricity: jax.Array
+    mean_intensity: jax.Array
+    std_intensity: jax.Array
+    n_valid: jax.Array     # () int32
+
+
 class ExtractedCells(NamedTuple):
     cells: jax.Array       # (C, out, out) float32 in [0,1]
     valid: jax.Array       # (C,) bool
@@ -119,3 +135,148 @@ def extract_cells(
         std_intensity=jnp.where(valid, std, 0.0),
         n_candidates=jnp.sum(cand.astype(jnp.int32)),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "label_capacity", "cell_capacity", "crop_capacity",
+        "border_margin", "min_area", "max_area",
+    ),
+)
+def extract_candidates(
+    labels: jax.Array,
+    green: jax.Array,
+    label_capacity: int = 1024,
+    cell_capacity: int = 512,
+    crop_capacity: int = 192,
+    border_margin: int = 10,
+    min_area: int = 200,
+    max_area: int = 8000,
+    max_eccentricity: float = 0.95,
+    min_mean_intensity: float = 0.5,
+    min_std_intensity: float = 0.1,
+) -> Candidates:
+    """Stage A of the chunked extraction path: everything up to (but not
+    including) CLAHE/resize, with the surviving cells repacked to the front
+    in ascending-label order so stage B (preprocess_chunk) runs only
+    ceil(n/chunk) times on actual cells rather than the full capacity.
+
+    Splitting here is the throughput fix for the capacity-vs-occupancy waste:
+    CLAHE/resize cost scales with the padded pixel count, so they run on
+    packed chunks (profiled 4-25x win at typical cell counts)."""
+    h, w = labels.shape
+    green = green.astype(jnp.float32)
+
+    props = regionprops(labels, capacity=label_capacity)
+    geo = qc_mask(
+        props, jnp.int32(h), jnp.int32(w),
+        border_margin=border_margin, min_area=min_area, max_area=max_area,
+        max_eccentricity=max_eccentricity,
+    )
+    sel = jnp.nonzero(geo, size=cell_capacity, fill_value=label_capacity)[0]
+    in_range = sel < label_capacity
+    sel_c = jnp.minimum(sel, label_capacity - 1)
+    minr = props.min_r[sel_c]
+    minc = props.min_c[sel_c]
+    ch = props.max_r[sel_c] - minr
+    cw = props.max_c[sel_c] - minc
+    fits = (ch <= crop_capacity) & (cw <= crop_capacity)
+    cand = in_range & fits
+    ch = jnp.clip(ch, 1, crop_capacity)
+    cw = jnp.clip(cw, 1, crop_capacity)
+
+    padded = jnp.pad(green, ((0, crop_capacity), (0, crop_capacity)))
+    crops = jax.vmap(
+        lambda r0, c0: jax.lax.dynamic_slice(padded, (r0, c0), (crop_capacity, crop_capacity))
+    )(minr, minc)
+
+    ar = jnp.arange(crop_capacity)
+    rect = (ar[None, :, None] < ch[:, None, None]) & (ar[None, None, :] < cw[:, None, None])
+    area_rect = jnp.maximum((ch * cw).astype(jnp.float32), 1.0)
+    mean = jnp.sum(jnp.where(rect, crops, 0.0), axis=(1, 2)) / area_rect
+    centered = jnp.where(rect, crops - mean[:, None, None], 0.0)
+    std = jnp.sqrt(jnp.maximum(jnp.sum(centered * centered, axis=(1, 2)) / area_rect, 0.0))
+    valid = cand & (mean >= min_mean_intensity) & (std >= min_std_intensity)
+
+    # repack valid cells to the front (stable => keeps ascending label order)
+    order = jnp.nonzero(valid, size=cell_capacity, fill_value=cell_capacity)[0]
+    ok = order < cell_capacity
+    o = jnp.minimum(order, cell_capacity - 1)
+    return Candidates(
+        crops=crops[o],
+        heights=jnp.where(ok, ch[o], 1),
+        widths=jnp.where(ok, cw[o], 1),
+        valid=ok,
+        label_ids=jnp.where(ok, sel_c[o] + 1, 0).astype(jnp.int32),
+        area=jnp.where(ok, props.area[sel_c][o], 0),
+        eccentricity=jnp.where(ok, props.eccentricity[sel_c][o], 0.0),
+        mean_intensity=jnp.where(ok, mean[o], 0.0),
+        std_intensity=jnp.where(ok, std[o], 0.0),
+        n_valid=jnp.sum(valid.astype(jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("out_size", "nbins", "grid"))
+def preprocess_chunk(
+    crops: jax.Array, heights: jax.Array, widths: jax.Array,
+    out_size: int = 64, clip_limit: float = 0.02, nbins: int = 256, grid: int = 8,
+) -> jax.Array:
+    """Stage B: CLAHE + anti-aliased resize on a packed chunk."""
+    eq = clahe_cells(crops, heights, widths, clip_limit=clip_limit, nbins=nbins, grid=grid)
+    return resize_cells(eq, heights, widths, out_size=out_size)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _slice_chunk(crops, heights, widths, start, chunk: int):
+    c = jax.lax.dynamic_slice_in_dim(crops, start, chunk)
+    h = jax.lax.dynamic_slice_in_dim(heights, start, chunk)
+    w = jax.lax.dynamic_slice_in_dim(widths, start, chunk)
+    return c, h, w
+
+
+def extract_cells_chunked(
+    labels: jax.Array,
+    green: jax.Array,
+    chunk: int = 128,
+    small_cap: int = 96,
+    out_size: int = 64,
+    clip_limit: float = 0.02,
+    **candidate_kwargs,
+):
+    """Host orchestrator: stage A once per frame, stage B per packed chunk,
+    with a small-crop bucket (crops whose bbox fits in `small_cap` run through
+    a 4x-cheaper CLAHE/resize graph).
+
+    Returns (cells (n, out, out) np.float32, stats dict of np arrays)."""
+    import numpy as np
+
+    cand = extract_candidates(labels, green, **candidate_kwargs)
+    chunk = min(chunk, cand.crops.shape[0])
+    n = int(cand.n_valid)
+    stats = dict(
+        label_ids=np.asarray(cand.label_ids)[:n],
+        area=np.asarray(cand.area)[:n],
+        eccentricity=np.asarray(cand.eccentricity)[:n],
+        mean_intensity=np.asarray(cand.mean_intensity)[:n],
+        std_intensity=np.asarray(cand.std_intensity)[:n],
+    )
+    if n == 0:
+        return np.zeros((0, out_size, out_size), np.float32), stats
+
+    hs = np.asarray(cand.heights)
+    ws = np.asarray(cand.widths)
+    pieces = []
+    for start in range(0, n, chunk):
+        c, hh, ww = _slice_chunk(cand.crops, cand.heights, cand.widths,
+                                 min(start, cand.crops.shape[0] - chunk), chunk)
+        # dynamic_slice clamps at the end; recompute the in-chunk offset
+        s0 = min(start, cand.crops.shape[0] - chunk)
+        off = start - s0
+        hi = min(start + chunk, n)
+        if max(hs[start:hi].max(), ws[start:hi].max()) <= small_cap:
+            c = c[:, :small_cap, :small_cap]
+        out = preprocess_chunk(c, hh, ww, out_size=out_size, clip_limit=clip_limit)
+        pieces.append(np.asarray(out)[off : off + (hi - start)])
+    cells = np.concatenate(pieces, axis=0)
+    return cells, stats

@@ -23,7 +23,7 @@ from cell_image_analysis_tpu.config import PipelineConfig
 from cell_image_analysis_tpu.io import artifacts
 from cell_image_analysis_tpu.io.ingest import FrameStream, list_tiffs
 from cell_image_analysis_tpu.models.segmentation import segment_frame
-from cell_image_analysis_tpu.ops.extract import extract_cells
+from cell_image_analysis_tpu.ops.extract import extract_cells_chunked
 from cell_image_analysis_tpu.pipeline import reports
 from cell_image_analysis_tpu.pipeline.scoring import compute_anomaly_scores
 from cell_image_analysis_tpu.utils.profiler import StageTimer, ThroughputMeter
@@ -61,12 +61,12 @@ class ProductionMutantScreening:
         """Same fused graph as training (improved_detection.py:48-115 parity)."""
         cfg = self.config
         labels = segment_frame(jnp.asarray(seg_channel.astype(np.float32)), cfg.seg, self.unet_variables)
-        ex = extract_cells(
+        cells, st = extract_cells_chunked(
             labels, jnp.asarray(green_channel.astype(np.float32)),
+            out_size=cfg.extract.out_size,
             label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
             cell_capacity=cfg.extract.cell_capacity,
             crop_capacity=cfg.extract.crop_capacity,
-            out_size=cfg.extract.out_size,
             border_margin=cfg.qc.border_margin,
             min_area=cfg.qc.min_area,
             max_area=cfg.qc.max_area,
@@ -74,14 +74,11 @@ class ProductionMutantScreening:
             min_mean_intensity=cfg.qc.min_mean_intensity,
             min_std_intensity=cfg.qc.min_std_intensity,
         )
-        valid = np.asarray(ex.valid)
-        cells = np.asarray(ex.cells)[valid]
         stats = [
             dict(area=int(a), eccentricity=float(e),
                  mean_intensity=float(m), std_intensity=float(s))
             for a, e, m, s in zip(
-                np.asarray(ex.area)[valid], np.asarray(ex.eccentricity)[valid],
-                np.asarray(ex.mean_intensity)[valid], np.asarray(ex.std_intensity)[valid],
+                st["area"], st["eccentricity"], st["mean_intensity"], st["std_intensity"]
             )
         ]
         return cells, stats

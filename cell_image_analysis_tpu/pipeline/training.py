@@ -39,7 +39,7 @@ from cell_image_analysis_tpu.models.pca import PCA
 from cell_image_analysis_tpu.models.scaler import RobustScaler
 from cell_image_analysis_tpu.models.segmentation import segment_frame
 from cell_image_analysis_tpu.models.svm import OneClassSVM
-from cell_image_analysis_tpu.ops.extract import extract_cells
+from cell_image_analysis_tpu.ops.extract import extract_cells_chunked
 from cell_image_analysis_tpu.ops.oracle.regionprops_np import convex_area
 from cell_image_analysis_tpu.pipeline import reports
 from cell_image_analysis_tpu.train.trainer import fit_cae
@@ -77,12 +77,12 @@ class ImprovedAnomalyDetectionTraining:
         device graph (reference: CAE_improved_modeltrain.py:39-111)."""
         cfg = self.config
         labels = segment_frame(jnp.asarray(seg_channel.astype(np.float32)), cfg.seg, self.unet_variables)
-        ex = extract_cells(
+        cells, st = extract_cells_chunked(
             labels, jnp.asarray(green_channel.astype(np.float32)),
+            out_size=cfg.extract.out_size,
             label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
             cell_capacity=cfg.extract.cell_capacity,
             crop_capacity=cfg.extract.crop_capacity,
-            out_size=cfg.extract.out_size,
             border_margin=cfg.qc.border_margin,
             min_area=cfg.qc.min_area,
             max_area=cfg.qc.max_area,
@@ -90,18 +90,13 @@ class ImprovedAnomalyDetectionTraining:
             min_mean_intensity=cfg.qc.min_mean_intensity,
             min_std_intensity=cfg.qc.min_std_intensity,
         )
-        valid = np.asarray(ex.valid)
-        cells = np.asarray(ex.cells)[valid]
-        label_ids = np.asarray(ex.label_ids)[valid]
-        areas = np.asarray(ex.area)[valid]
-        sols = _solidity_for_labels(np.asarray(labels), label_ids, areas)
-        eccs = np.asarray(ex.eccentricity)[valid]
-        means = np.asarray(ex.mean_intensity)[valid]
-        stds = np.asarray(ex.std_intensity)[valid]
+        sols = _solidity_for_labels(np.asarray(labels), st["label_ids"], st["area"])
         stats = [
             dict(area=int(a), eccentricity=float(e), solidity=float(s),
                  mean_intensity=float(m), std_intensity=float(sd))
-            for a, e, s, m, sd in zip(areas, eccs, sols, means, stds)
+            for a, e, s, m, sd in zip(
+                st["area"], st["eccentricity"], sols, st["mean_intensity"], st["std_intensity"]
+            )
         ]
         return cells, stats
 
