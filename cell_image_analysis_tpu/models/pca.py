@@ -49,21 +49,24 @@ class PCA:
 
 
 def _fit(X: jax.Array, k: int):
-    n = X.shape[0]
-    mean = jnp.mean(X, axis=0)
-    Xc = X - mean
-    # full SVD of the centered data; N and D here (<=~50k x 2048) are well
-    # within one chip's HBM
-    u, s, vt = jnp.linalg.svd(Xc, full_matrices=False)
+    # Fit-time SVD runs on the HOST in float64: XLA:TPU lowers linalg.svd to
+    # a slow iterative routine (measured minutes for 256x2048 through this
+    # environment's tunnel) and fit is a one-off; the hot path — transform —
+    # stays a device matmul.
+    Xh = np.asarray(X, dtype=np.float64)
+    n = Xh.shape[0]
+    mean = Xh.mean(axis=0)
+    u, s, vt = np.linalg.svd(Xh - mean, full_matrices=False)
     # sklearn svd_flip (v-based, as used by PCA._fit_full since sklearn 1.5):
     # flip each component so its max-|.| coefficient is positive
-    idx = jnp.argmax(jnp.abs(vt), axis=1)
-    signs = jnp.sign(vt[jnp.arange(vt.shape[0]), idx])
-    signs = jnp.where(signs == 0, 1.0, signs)
+    idx = np.argmax(np.abs(vt), axis=1)
+    signs = np.sign(vt[np.arange(vt.shape[0]), idx])
+    signs[signs == 0] = 1.0
     vt = vt * signs[:, None]
     var = (s ** 2) / (n - 1)
-    total = jnp.sum(var)
-    return mean, vt[:k], var[:k], var[:k] / total
+    total = var.sum()
+    return (mean.astype(np.float32), vt[:k].astype(np.float32),
+            var[:k].astype(np.float32), (var[:k] / total).astype(np.float32))
 
 
 @jax.jit

@@ -74,25 +74,31 @@ def _fit_params(seed: int = 0):
     return model, params, host
 
 
-def _tpu_frame_fn(model, params, cell_capacity: int = 256):
-    """One jitted frame->scores step (segmentation+extraction+scoring)."""
-    import jax
+def _frame_pipeline(model, params):
+    """The production frame path: segmentation + chunked extraction +
+    fused scoring.  Returns a host function frame -> (n_cells, scores)."""
     import jax.numpy as jnp
 
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
-    from cell_image_analysis_tpu.ops.extract import extract_cells
+    from cell_image_analysis_tpu.ops.extract import extract_cells_chunked
     from cell_image_analysis_tpu.pipeline.scoring import score_cells
 
-    @jax.jit
-    def frame_fn(seg_channel, green):
-        labels = threshold_segment(seg_channel)
-        ex = extract_cells(labels, green, cell_capacity=cell_capacity)
-        scores = score_cells(model, params, ex.cells[..., None])
-        n_anom = jnp.sum((scores.conservative_predictions == -1) & ex.valid)
-        n_valid = jnp.sum(ex.valid)
-        return n_valid, n_anom, scores.reconstruction_mse
+    chunk = 128
 
-    return frame_fn
+    def run(seg_channel, green):
+        labels = threshold_segment(seg_channel)
+        cells, _ = extract_cells_chunked(labels, green, chunk=chunk, label_capacity=4096)
+        n = len(cells)
+        if n == 0:
+            return 0, None
+        pad = (-n) % chunk
+        if pad:
+            cells = np.concatenate([cells, np.zeros((pad, 64, 64), np.float32)])
+        scores = [score_cells(model, params, jnp.asarray(cells[i : i + chunk][..., None]))
+                  for i in range(0, len(cells), chunk)]
+        return n, scores
+
+    return run
 
 
 def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80) -> dict:
@@ -101,21 +107,23 @@ def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80) -> dic
 
     model, params, _ = _fit_params()
     frames = _make_frames(n_frames, size, n_cells)
-    frame_fn = _tpu_frame_fn(model, params)
+    run = _frame_pipeline(model, params)
 
     devs = [(jnp.asarray(f[..., 2].astype(np.float32)), jnp.asarray(f[..., 1].astype(np.float32)))
             for f in frames]
 
-    # warmup / compile
-    nv, na, _ = frame_fn(*devs[0])
-    jax.block_until_ready((nv, na))
+    # warmup / compile every graph in the path
+    run(*devs[0])
 
     t0 = time.perf_counter()
     total = 0
+    last = None
     for seg, green in devs:
-        nv, na, mse = frame_fn(seg, green)
-        total += int(nv)
-    jax.block_until_ready(mse)
+        n, scores = run(seg, green)
+        total += n
+        last = scores
+    if last:
+        jax.block_until_ready(last)
     dt = time.perf_counter() - t0
     return dict(cells=total, seconds=dt, cells_per_sec=total / dt,
                 frames_per_sec=n_frames / dt, n_frames=n_frames, size=size)
@@ -152,7 +160,8 @@ def run_cpu_reference(n_frames: int = 2, size: int = 1024, n_cells: int = 80) ->
         lo, hi = np.percentile(seg, 3), np.percentile(seg, 99.8)
         norm = (seg - lo) / (hi - lo + 1e-20)
         thresh = np.percentile(norm, 90.0)
-        labels, _ = ndi.label(norm > thresh)
+        mask = ndi.binary_opening(norm > thresh)
+        labels, _ = ndi.label(mask)
         h, w = labels.shape
         cells = []
         for p in regionprops_np(labels, green):
