@@ -217,7 +217,7 @@ def extract_candidates(
     )
 
 
-@partial(jax.jit, static_argnames=("out_size", "nbins", "grid"))
+@partial(jax.jit, static_argnames=("out_size", "clip_limit", "nbins", "grid"))
 def preprocess_chunk(
     crops: jax.Array, heights: jax.Array, widths: jax.Array,
     out_size: int = 64, clip_limit: float = 0.02, nbins: int = 256, grid: int = 8,
@@ -227,12 +227,53 @@ def preprocess_chunk(
     return resize_cells(eq, heights, widths, out_size=out_size)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _slice_chunk(crops, heights, widths, start, chunk: int):
-    c = jax.lax.dynamic_slice_in_dim(crops, start, chunk)
-    h = jax.lax.dynamic_slice_in_dim(heights, start, chunk)
-    w = jax.lax.dynamic_slice_in_dim(widths, start, chunk)
-    return c, h, w
+@partial(jax.jit, static_argnames=("cap", "out_size", "clip_limit", "nbins", "grid"))
+def preprocess_gather(
+    crops: jax.Array,     # (N, full_cap, full_cap) pooled candidate crops
+    heights: jax.Array,   # (N,)
+    widths: jax.Array,    # (N,)
+    idx: jax.Array,       # (chunk,) indices into the pool
+    cap: int,             # crop side for this bucket (<= full_cap)
+    out_size: int = 64,
+    clip_limit: float = 0.02,
+    nbins: int = 256,
+    grid: int = 8,
+) -> jax.Array:
+    """Fused gather + CLAHE + resize for one size bucket: a single dispatch
+    per chunk (host round-trips cost ~30 ms each through the device tunnel,
+    so stage B is one jitted call instead of slice+preprocess)."""
+    c = crops[idx][:, :cap, :cap]
+    h = heights[idx]
+    w = widths[idx]
+    eq = clahe_cells(c, h, w, clip_limit=clip_limit, nbins=nbins, grid=grid)
+    return resize_cells(eq, h, w, out_size=out_size)
+
+
+def _preprocess_pool(crops, heights, widths, n, hs_np, ws_np, chunk, small_cap,
+                     out_size, clip_limit):
+    """Bucketed stage B over a device-resident candidate pool.
+
+    Per-cell size partition (host, from the already-fetched h/w arrays) into
+    a small-crop bucket and a full-size bucket; each bucket runs fused
+    gather+CLAHE+resize chunks.  Returns (n, out, out) float32 preserving
+    pool order."""
+    import numpy as np
+
+    full_cap = crops.shape[-1]
+    cells = np.empty((n, out_size, out_size), np.float32)
+    small = np.flatnonzero((hs_np[:n] <= small_cap) & (ws_np[:n] <= small_cap))
+    large = np.flatnonzero((hs_np[:n] > small_cap) | (ws_np[:n] > small_cap))
+    for bucket_idx, cap in ((small, small_cap), (large, full_cap)):
+        for start in range(0, len(bucket_idx), chunk):
+            take = bucket_idx[start : start + chunk]
+            idx = np.full(chunk, take[0], np.int32)
+            idx[: len(take)] = take
+            out = preprocess_gather(
+                crops, heights, widths, jnp.asarray(idx), cap,
+                out_size=out_size, clip_limit=clip_limit,
+            )
+            cells[take] = np.asarray(out)[: len(take)]
+    return cells
 
 
 def extract_cells_chunked(
@@ -244,39 +285,90 @@ def extract_cells_chunked(
     clip_limit: float = 0.02,
     **candidate_kwargs,
 ):
-    """Host orchestrator: stage A once per frame, stage B per packed chunk,
-    with a small-crop bucket (crops whose bbox fits in `small_cap` run through
-    a 4x-cheaper CLAHE/resize graph).
+    """Host orchestrator: stage A once per frame, bucketed fused stage B.
 
     Returns (cells (n, out, out) np.float32, stats dict of np arrays)."""
     import numpy as np
 
     cand = extract_candidates(labels, green, **candidate_kwargs)
     chunk = min(chunk, cand.crops.shape[0])
-    n = int(cand.n_valid)
-    stats = dict(
-        label_ids=np.asarray(cand.label_ids)[:n],
-        area=np.asarray(cand.area)[:n],
-        eccentricity=np.asarray(cand.eccentricity)[:n],
-        mean_intensity=np.asarray(cand.mean_intensity)[:n],
-        std_intensity=np.asarray(cand.std_intensity)[:n],
+    # one consolidated device->host fetch for all small per-cell arrays
+    nv, lab, area, ecc, mean, std, hs, ws = (
+        np.asarray(x) for x in (
+            cand.n_valid, cand.label_ids, cand.area, cand.eccentricity,
+            cand.mean_intensity, cand.std_intensity, cand.heights, cand.widths,
+        )
     )
+    n = int(nv)
+    stats = dict(label_ids=lab[:n], area=area[:n], eccentricity=ecc[:n],
+                 mean_intensity=mean[:n], std_intensity=std[:n])
+    if n == 0:
+        return np.zeros((0, out_size, out_size), np.float32), stats
+    cells = _preprocess_pool(cand.crops, cand.heights, cand.widths, n, hs, ws,
+                             chunk, small_cap, out_size, clip_limit)
+    return cells, stats
+
+
+def extract_cells_frames(
+    segs: jax.Array,
+    greens: jax.Array,
+    segment_fn,
+    chunk: int = 128,
+    small_cap: int = 96,
+    out_size: int = 64,
+    clip_limit: float = 0.02,
+    **candidate_kwargs,
+):
+    """Batched multi-frame extraction: segmentation + stage A vmapped over a
+    (B, H, W) stack of same-shape frames in ONE dispatch, candidates pooled
+    across frames, then bucketed stage B over the whole pool — amortizing
+    both dispatch latency and chunk padding across frames.
+
+    `segment_fn`: (H, W) seg channel -> (H, W) int32 labels (jit-composable).
+    Returns (cells (n, out, out), stats dict incl. `frame_index`)."""
+    import numpy as np
+
+    @partial(jax.jit, static_argnames=())
+    def stage_a(segs, greens):
+        def one(seg, green):
+            labels = segment_fn(seg)
+            return extract_candidates(labels, green, **candidate_kwargs)
+        return jax.vmap(one)(segs, greens)
+
+    cand = stage_a(segs, greens)
+    B, cap = cand.crops.shape[0], cand.crops.shape[1]
+    crops = cand.crops.reshape(B * cap, *cand.crops.shape[2:])
+    heights = cand.heights.reshape(-1)
+    widths = cand.widths.reshape(-1)
+
+    lab, area, ecc, mean, std, hs, ws, valid = (
+        np.asarray(x) for x in (
+            cand.label_ids.reshape(-1), cand.area.reshape(-1),
+            cand.eccentricity.reshape(-1), cand.mean_intensity.reshape(-1),
+            cand.std_intensity.reshape(-1), heights, widths,
+            cand.valid.reshape(-1),
+        )
+    )
+    pool_idx = np.flatnonzero(valid)  # frame-major, label-ascending order
+    n = len(pool_idx)
+    frame_index = pool_idx // cap
+    stats = dict(label_ids=lab[pool_idx], area=area[pool_idx],
+                 eccentricity=ecc[pool_idx], mean_intensity=mean[pool_idx],
+                 std_intensity=std[pool_idx], frame_index=frame_index)
     if n == 0:
         return np.zeros((0, out_size, out_size), np.float32), stats
 
-    hs = np.asarray(cand.heights)
-    ws = np.asarray(cand.widths)
-    pieces = []
-    for start in range(0, n, chunk):
-        c, hh, ww = _slice_chunk(cand.crops, cand.heights, cand.widths,
-                                 min(start, cand.crops.shape[0] - chunk), chunk)
-        # dynamic_slice clamps at the end; recompute the in-chunk offset
-        s0 = min(start, cand.crops.shape[0] - chunk)
-        off = start - s0
-        hi = min(start + chunk, n)
-        if max(hs[start:hi].max(), ws[start:hi].max()) <= small_cap:
-            c = c[:, :small_cap, :small_cap]
-        out = preprocess_chunk(c, hh, ww, out_size=out_size, clip_limit=clip_limit)
-        pieces.append(np.asarray(out)[off : off + (hi - start)])
-    cells = np.concatenate(pieces, axis=0)
+    # compact the pool indices: bucketed stage B addresses the flat pool
+    cells = np.empty((n, out_size, out_size), np.float32)
+    small = np.flatnonzero((hs[pool_idx] <= small_cap) & (ws[pool_idx] <= small_cap))
+    large = np.flatnonzero((hs[pool_idx] > small_cap) | (ws[pool_idx] > small_cap))
+    full_cap = crops.shape[-1]
+    for bucket, cap_b in ((small, small_cap), (large, full_cap)):
+        for start in range(0, len(bucket), chunk):
+            take = bucket[start : start + chunk]
+            idx = np.full(chunk, pool_idx[take[0]], np.int32)
+            idx[: len(take)] = pool_idx[take]
+            out = preprocess_gather(crops, heights, widths, jnp.asarray(idx),
+                                    cap_b, out_size=out_size, clip_limit=clip_limit)
+            cells[take] = np.asarray(out)[: len(take)]
     return cells, stats

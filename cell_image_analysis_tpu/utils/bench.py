@@ -74,20 +74,22 @@ def _fit_params(seed: int = 0):
     return model, params, host
 
 
-def _frame_pipeline(model, params):
-    """The production frame path: segmentation + chunked extraction +
-    fused scoring.  Returns a host function frame -> (n_cells, scores)."""
+def _batch_pipeline(model, params, frame_batch: int = 8):
+    """The production path: vmapped segmentation+candidates over a frame
+    batch, pooled bucketed preprocessing, fused scoring.  Returns a host
+    function (segs (B,H,W), greens (B,H,W)) -> (n_cells, scores)."""
     import jax.numpy as jnp
 
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
-    from cell_image_analysis_tpu.ops.extract import extract_cells_chunked
+    from cell_image_analysis_tpu.ops.extract import extract_cells_frames
     from cell_image_analysis_tpu.pipeline.scoring import score_cells
 
     chunk = 128
 
-    def run(seg_channel, green):
-        labels = threshold_segment(seg_channel)
-        cells, _ = extract_cells_chunked(labels, green, chunk=chunk, label_capacity=4096)
+    def run(segs, greens):
+        cells, _ = extract_cells_frames(
+            segs, greens, threshold_segment, chunk=chunk, label_capacity=4096
+        )
         n = len(cells)
         if n == 0:
             return 0, None
@@ -101,25 +103,30 @@ def _frame_pipeline(model, params):
     return run
 
 
-def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80) -> dict:
+def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
+                  frame_batch: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
 
     model, params, _ = _fit_params()
     frames = _make_frames(n_frames, size, n_cells)
-    run = _frame_pipeline(model, params)
+    run = _batch_pipeline(model, params, frame_batch)
 
-    devs = [(jnp.asarray(f[..., 2].astype(np.float32)), jnp.asarray(f[..., 1].astype(np.float32)))
-            for f in frames]
+    stack = np.stack(frames)
+    segs = jnp.asarray(stack[..., 2].astype(np.float32))
+    greens = jnp.asarray(stack[..., 1].astype(np.float32))
+
+    batches = [(segs[i : i + frame_batch], greens[i : i + frame_batch])
+               for i in range(0, n_frames, frame_batch)]
 
     # warmup / compile every graph in the path
-    run(*devs[0])
+    run(*batches[0])
 
     t0 = time.perf_counter()
     total = 0
     last = None
-    for seg, green in devs:
-        n, scores = run(seg, green)
+    for s, g in batches:
+        n, scores = run(s, g)
         total += n
         last = scores
     if last:
