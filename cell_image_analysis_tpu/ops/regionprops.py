@@ -53,29 +53,30 @@ def regionprops(labels: jax.Array, capacity: int) -> RegionProps:
 
     rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
     cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
-    ones = jnp.ones_like(seg)
 
-    ssum = lambda x: jax.ops.segment_sum(x, seg, num_segments=n_seg)[:capacity]
-    smin = lambda x: jax.ops.segment_min(x, seg, num_segments=n_seg)[:capacity]
-    smax = lambda x: jax.ops.segment_max(x, seg, num_segments=n_seg)[:capacity]
-
-    area = ssum(ones)
-    valid = area > 0
-    areaf = jnp.maximum(area, 1).astype(jnp.float32)
-
-    min_r, min_c = smin(rr), smin(cc)
-    max_r, max_c = smax(rr) + 1, smax(cc) + 1
-    # empty segments: segment_min yields the dtype max; normalize to zeros
-    min_r = jnp.where(valid, min_r, 0)
-    min_c = jnp.where(valid, min_c, 0)
-    max_r = jnp.where(valid, max_r, 0)
-    max_c = jnp.where(valid, max_c, 0)
-
+    # Fused reductions: each segment op over the full frame is a sort/scatter
+    # pass on TPU, so the nine original reductions are packed into one
+    # stacked sum, one stacked max (min = max of negation), and one stacked
+    # sum for the central moments — 3 passes total.
     rf = rr.astype(jnp.float32)
     cf = cc.astype(jnp.float32)
-    sr, sc = ssum(rf), ssum(cf)
-    cy, cx = sr / areaf, sc / areaf
-    # central second moments in two passes: gathering each pixel's segment
+    sum1 = jax.ops.segment_sum(
+        jnp.stack([jnp.ones_like(rf), rf, cf], axis=1), seg, num_segments=n_seg
+    )[:capacity]
+    area = sum1[:, 0].astype(jnp.int32)
+    valid = area > 0
+    areaf = jnp.maximum(sum1[:, 0], 1.0)
+
+    mx = jax.ops.segment_max(
+        jnp.stack([rr, cc, -rr, -cc], axis=1), seg, num_segments=n_seg
+    )[:capacity]
+    max_r = jnp.where(valid, mx[:, 0] + 1, 0)
+    max_c = jnp.where(valid, mx[:, 1] + 1, 0)
+    min_r = jnp.where(valid, -mx[:, 2], 0)
+    min_c = jnp.where(valid, -mx[:, 3], 0)
+
+    cy, cx = sum1[:, 1] / areaf, sum1[:, 2] / areaf
+    # central second moments in a second pass: gathering each pixel's segment
     # centroid keeps the deltas small, avoiding the float32 cancellation of
     # the parallel-axis form (sum r^2 overflows the 24-bit mantissa on large
     # frames)
@@ -83,9 +84,12 @@ def regionprops(labels: jax.Array, capacity: int) -> RegionProps:
     cx_full = jnp.concatenate([cx, jnp.zeros((1,), cx.dtype)])
     dr = rf - cy_full[seg]
     dc = cf - cx_full[seg]
-    mu20 = ssum(dr * dr) / areaf
-    mu02 = ssum(dc * dc) / areaf
-    mu11 = ssum(dr * dc) / areaf
+    sum2 = jax.ops.segment_sum(
+        jnp.stack([dr * dr, dc * dc, dr * dc], axis=1), seg, num_segments=n_seg
+    )[:capacity]
+    mu20 = sum2[:, 0] / areaf
+    mu02 = sum2[:, 1] / areaf
+    mu11 = sum2[:, 2] / areaf
 
     t = (mu20 + mu02) / 2.0
     d = jnp.sqrt(((mu20 - mu02) / 2.0) ** 2 + mu11 ** 2)

@@ -88,7 +88,8 @@ def _batch_pipeline(model, params, frame_batch: int = 8):
 
     def run(segs, greens):
         cells, _ = extract_cells_frames(
-            segs, greens, threshold_segment, chunk=chunk, label_capacity=4096
+            segs, greens, threshold_segment, chunk=chunk,
+            label_capacity=4096, cell_capacity=128,
         )
         n = len(cells)
         if n == 0:
