@@ -68,7 +68,7 @@ def _halo_exchange(tile: jax.Array, halo: int, axis: str) -> jax.Array:
     static_argnames=(
         "mesh", "halo", "cell_capacity", "crop_capacity", "label_capacity",
         "out_size", "threshold_percentile", "border_margin", "min_area",
-        "max_area", "connectivity",
+        "max_area", "connectivity", "opening",
     ),
 )
 def tiled_extract_cells(
@@ -88,6 +88,7 @@ def tiled_extract_cells(
     min_mean_intensity: float = 0.5,
     min_std_intensity: float = 0.1,
     connectivity: int = 1,
+    opening: bool = True,
 ) -> TiledCells:
     """Threshold-backend segmentation + extraction over row-sharded tiles.
 
@@ -101,11 +102,16 @@ def tiled_extract_cells(
     assert rows * n_dev == H, "H must divide evenly across the mesh"
     assert rows >= halo, "halo must not exceed rows per tile"
 
-    # global percentile normalization + threshold (collectives over the
-    # sharded frame are inserted by XLA)
+    # global percentile normalization + threshold + denoise (collectives over
+    # the sharded frame are inserted by XLA; the 3x3 opening's 1-px halo is
+    # handled by jit's automatic partitioner, not the explicit exchange)
+    from cell_image_analysis_tpu.models.segmentation import binary_opening
+
     norm = normalize_percentile(seg_channel)
     thresh = percentile(norm, threshold_percentile)
     mask = norm > thresh
+    if opening:
+        mask = binary_opening(mask)
 
     def tile_fn(mask_tile, green_tile):
         # (rows, W) shards -> haloed (rows + 2*halo, W)

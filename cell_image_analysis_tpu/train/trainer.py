@@ -90,6 +90,8 @@ def fit_cae(
     save_best_fn: Optional[Callable[[dict], None]] = None,
     verbose: bool = True,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
 ):
     """Train the CAE on (N, 64, 64) or (N, 64, 64, 1) cell images.
 
@@ -136,9 +138,30 @@ def fit_cae(
     rlr_best = np.inf            # ReduceLROnPlateau has its own best/min_delta
     rlr_wait = 0
     stopped_epoch = 0
+    start_epoch = 0
     rng = np.random.default_rng(train_cfg.seed)
 
-    for epoch in range(train_cfg.epochs):
+    if resume and checkpoint_dir:
+        from cell_image_analysis_tpu.train.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_dir)
+        if ck is not None:
+            params = ck["params"]
+            batch_stats = ck["batch_stats"]
+            opt_state = ck["opt_state"]
+            key = ck["key"]
+            lr = float(ck["lr"])
+            best_val = float(ck["best_val"])
+            best_weights = (ck["best_params"], ck["best_batch_stats"])
+            es_wait, rlr_best, rlr_wait = ck["es_wait"], float(ck["rlr_best"]), ck["rlr_wait"]
+            history.history = {k: list(v) for k, v in ck["history"].items()}
+            start_epoch = int(ck["epoch"]) + 1
+            rng.bit_generator.state = ck["np_rng_state"]
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            if verbose:
+                print(f"Resuming training from epoch {start_epoch + 1}")
+
+    for epoch in range(start_epoch, train_cfg.epochs):
         perm = rng.permutation(len(X_train))[: steps * bs].reshape(steps, bs)
         losses, maes = [], []
         for step in range(steps):
@@ -188,6 +211,17 @@ def fit_cae(
                     if verbose:
                         print(f"Epoch {epoch + 1}: ReduceLROnPlateau reducing lr to {lr:.2e}")
                 rlr_wait = 0
+
+        if checkpoint_dir:
+            from cell_image_analysis_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, dict(
+                epoch=epoch, params=params, batch_stats=batch_stats,
+                opt_state=opt_state, key=key, lr=lr, best_val=best_val,
+                best_params=best_weights[0], best_batch_stats=best_weights[1],
+                es_wait=es_wait, rlr_best=rlr_best, rlr_wait=rlr_wait,
+                history=history.history, np_rng_state=rng.bit_generator.state,
+            ))
 
     # EarlyStopping(restore_best_weights=True)
     params, batch_stats = best_weights
