@@ -227,6 +227,48 @@ def preprocess_chunk(
     return resize_cells(eq, heights, widths, out_size=out_size)
 
 
+@partial(jax.jit, static_argnames=("model", "cap", "out_size", "clip_limit", "nbins", "grid", "min_votes"))
+def preprocess_gather_score(
+    model,
+    scoring_params,
+    crops: jax.Array,
+    heights: jax.Array,
+    widths: jax.Array,
+    idx: jax.Array,
+    cap: int,
+    out_size: int = 64,
+    clip_limit: float = 0.02,
+    nbins: int = 256,
+    grid: int = 8,
+    min_votes: int = 2,
+):
+    """Fused stage B + scoring: gather -> CLAHE -> resize -> the full scoring
+    graph, in ONE dispatch.  Only the per-cell score vectors (KBs) return to
+    the host — bulk cell tensors never cross the host<->device link, which
+    dominates cost on remote-attached devices (~100 ms/MB measured here)."""
+    from cell_image_analysis_tpu.pipeline.scoring import score_cells
+
+    c = crops[idx][:, :cap, :cap]
+    h = heights[idx]
+    w = widths[idx]
+    eq = clahe_cells(c, h, w, clip_limit=clip_limit, nbins=nbins, grid=grid)
+    cells = resize_cells(eq, h, w, out_size=out_size)
+    s = score_cells(model, scoring_params, cells[..., None], min_votes=min_votes)
+    # pack into one (chunk, 7 + fft_dim) array so the host needs a single
+    # fetch per chunk (each device->host round trip costs ~30 ms here)
+    return jnp.concatenate(
+        [
+            s.reconstruction_mse[:, None], s.reconstruction_mae[:, None],
+            s.conservative_predictions[:, None].astype(jnp.float32),
+            s.moderate_predictions[:, None].astype(jnp.float32),
+            s.conservative_scores[:, None], s.moderate_scores[:, None],
+            s.ensemble_predictions[:, None].astype(jnp.float32),
+            s.fft,
+        ],
+        axis=1,
+    )
+
+
 @partial(jax.jit, static_argnames=("cap", "out_size", "clip_limit", "nbins", "grid"))
 def preprocess_gather(
     crops: jax.Array,     # (N, full_cap, full_cap) pooled candidate crops

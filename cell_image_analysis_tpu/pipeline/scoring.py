@@ -96,6 +96,102 @@ def score_cells(model: CAE, params: ScoringParams, X: jax.Array, min_votes: int 
     )
 
 
+def score_frames(
+    model: CAE,
+    params: ScoringParams,
+    segs: jax.Array,
+    greens: jax.Array,
+    segment_fn,
+    chunk: int = 128,
+    small_cap: int = 96,
+    min_votes: int = 2,
+    out_size: int = 64,
+    clip_limit: float = 0.02,
+    **candidate_kwargs,
+) -> dict:
+    """Device-resident screening of a (B, H, W) frame stack: vmapped
+    segmentation + candidates, then fused gather+CLAHE+resize+scoring per
+    packed chunk.  Bulk tensors never reach the host — only per-cell stats
+    and score vectors do (two consolidated fetches + KBs per chunk), which is
+    what the throughput of remote-attached chips is bound by.
+
+    Returns the compute_anomaly_scores dict schema plus per-cell stats and
+    frame_index."""
+    from functools import partial as _partial
+
+    from cell_image_analysis_tpu.ops.extract import (
+        extract_candidates,
+        preprocess_gather_score,
+    )
+
+    @jax.jit
+    def stage_a(segs, greens):
+        def one(seg, green):
+            labels = segment_fn(seg)
+            cand = extract_candidates(labels, green, **candidate_kwargs)
+            ints = jnp.stack([
+                cand.valid.astype(jnp.int32), cand.heights, cand.widths,
+                cand.label_ids, cand.area,
+            ])
+            floats = jnp.stack([cand.eccentricity, cand.mean_intensity, cand.std_intensity])
+            return cand.crops, cand.heights, cand.widths, ints, floats
+        return jax.vmap(one)(segs, greens)
+
+    crops, heights, widths, ints, floats = stage_a(segs, greens)
+    B, cap = crops.shape[0], crops.shape[1]
+    crops = crops.reshape(B * cap, *crops.shape[2:])
+    heights = heights.reshape(-1)
+    widths = widths.reshape(-1)
+    ints_h = np.asarray(ints)      # (B, 5, cap) — one transfer
+    floats_h = np.asarray(floats)  # (B, 3, cap) — one transfer
+    valid = ints_h[:, 0].reshape(-1).astype(bool)
+    hs = ints_h[:, 1].reshape(-1)
+    ws = ints_h[:, 2].reshape(-1)
+
+    pool = np.flatnonzero(valid)
+    n = len(pool)
+    stats = dict(
+        label_ids=ints_h[:, 3].reshape(-1)[pool],
+        area=ints_h[:, 4].reshape(-1)[pool],
+        eccentricity=floats_h[:, 0].reshape(-1)[pool],
+        mean_intensity=floats_h[:, 1].reshape(-1)[pool],
+        std_intensity=floats_h[:, 2].reshape(-1)[pool],
+        frame_index=pool // cap,
+    )
+    if n == 0:
+        return {}, stats
+
+    fft_dim = 16 + 8 + 3
+    packed = np.empty((n, 7 + fft_dim), np.float32)
+    small = np.flatnonzero((hs[pool] <= small_cap) & (ws[pool] <= small_cap))
+    large = np.flatnonzero((hs[pool] > small_cap) | (ws[pool] > small_cap))
+    full_cap = crops.shape[-1]
+    for bucket, cap_b in ((small, small_cap), (large, full_cap)):
+        for start in range(0, len(bucket), chunk):
+            take = bucket[start : start + chunk]
+            idx = np.full(chunk, pool[take[0]], np.int32)
+            idx[: len(take)] = pool[take]
+            s = preprocess_gather_score(
+                model, params, crops, heights, widths, jnp.asarray(idx), cap_b,
+                out_size=out_size, clip_limit=clip_limit, min_votes=min_votes,
+            )
+            packed[take] = np.asarray(s)[: len(take)]  # ONE fetch per chunk
+
+    out = {
+        "reconstruction_mse": packed[:, 0],
+        "reconstruction_mae": packed[:, 1],
+        "conservative_predictions": packed[:, 2].astype(np.int32),
+        "moderate_predictions": packed[:, 3].astype(np.int32),
+        "conservative_scores": packed[:, 4],
+        "moderate_scores": packed[:, 5],
+        "ensemble_predictions": packed[:, 6].astype(np.int32),
+        "fft_features": packed[:, 7:],
+    }
+    for name in ("conservative", "moderate", "ensemble"):
+        out[f"{name}_anomaly_rate"] = float(np.mean(out[f"{name}_predictions"] == -1))
+    return out, stats
+
+
 def compute_anomaly_scores(model: CAE, params: ScoringParams, cells, valid=None) -> dict:
     """Host-facing wrapper with the reference's dict schema
     (improved_detection.py:144-153), plus ensemble + FFT extensions.

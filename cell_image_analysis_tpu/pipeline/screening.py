@@ -115,6 +115,86 @@ class ProductionMutantScreening:
             out[f"{name}_anomaly_rate"] = float(np.mean(out[f"{name}_predictions"] == -1))
         return out
 
+    def _score_sample_frames(self, tif_files: list) -> tuple[dict, list, list]:
+        """Device-resident screening of one sample: frames stream in, stack
+        into same-shape batches, and run the fused segmentation->extraction->
+        scoring path (pipeline/scoring.score_frames) — only per-cell score
+        vectors cross the host<->device link.
+
+        Returns (scores dict, per-file cell counts, per-file mean
+        intensities)."""
+        from cell_image_analysis_tpu.pipeline.scoring import score_frames
+
+        cfg = self.config
+        batch_max = 8
+        frame_names: list = []
+        pend_frames: list = []
+        pend_idx: list = []
+        all_scores: list = []
+        all_stats: list = []
+
+        def flush():
+            if not pend_frames:
+                return
+            segs = jnp.asarray(np.stack([f[0] for f in pend_frames]).astype(np.float32))
+            greens = jnp.asarray(np.stack([f[1] for f in pend_frames]).astype(np.float32))
+            with self.timer.stage("score_frames"):
+                scores, stats = score_frames(
+                    self.model, self.scoring_params, segs, greens,
+                    lambda s: segment_frame(s, cfg.seg, self.unet_variables),
+                    label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
+                    cell_capacity=cfg.extract.cell_capacity,
+                    crop_capacity=cfg.extract.crop_capacity,
+                    out_size=cfg.extract.out_size,
+                    min_votes=cfg.ensemble.min_votes,
+                    border_margin=cfg.qc.border_margin,
+                    min_area=cfg.qc.min_area,
+                    max_area=cfg.qc.max_area,
+                    max_eccentricity=cfg.qc.max_eccentricity,
+                    min_mean_intensity=cfg.qc.min_mean_intensity,
+                    min_std_intensity=cfg.qc.min_std_intensity,
+                )
+            if scores:
+                stats = dict(stats)
+                stats["file_index"] = np.array(pend_idx)[stats["frame_index"]]
+                all_scores.append(scores)
+                all_stats.append(stats)
+            pend_frames.clear()
+            pend_idx.clear()
+
+        stream = FrameStream(tif_files)
+        for path, seg, green in stream:
+            frame_names.append(os.path.basename(path))
+            if pend_frames and seg.shape != pend_frames[0][0].shape:
+                flush()
+            pend_frames.append((seg, green))
+            pend_idx.append(len(frame_names) - 1)
+            if len(pend_frames) >= batch_max:
+                flush()
+        flush()
+        for path, err in stream.errors:
+            print(f"Error processing {path}: {err}")
+
+        if not all_scores:
+            return {}, [], []
+
+        merged = {}
+        for k in all_scores[0]:
+            if k.endswith("_anomaly_rate"):
+                continue
+            merged[k] = np.concatenate([s[k] for s in all_scores])
+        for name in ("conservative", "moderate", "ensemble"):
+            merged[f"{name}_anomaly_rate"] = float(
+                np.mean(merged[f"{name}_predictions"] == -1)
+            )
+        file_index = np.concatenate([s["file_index"] for s in all_stats])
+        mean_int = np.concatenate([s["mean_intensity"] for s in all_stats])
+        counts = [int((file_index == i).sum()) for i in range(len(frame_names))]
+        means = [float(mean_int[file_index == i].mean()) if counts[i] else 0
+                 for i in range(len(frame_names))]
+        merged["_frame_names"] = frame_names
+        return merged, counts, means
+
     def screen_mutant_samples(self, test_folders_dict: dict, output_dir: str):
         """improved_detection.py:155-244."""
         os.makedirs(output_dir, exist_ok=True)
@@ -131,40 +211,21 @@ class ProductionMutantScreening:
                 print(f"  No .tif files found in {folder_path}")
                 continue
 
-            sample_cells, file_summary = [], []
-            stream = FrameStream(tif_files)
             self.meter.start()
-            for path, seg, green in stream:
-                filename = os.path.basename(path)
-                try:
-                    with self.timer.stage("extract_frame"):
-                        cells, stats = self.extract_quality_cells(seg, green)
-                except Exception as e:
-                    print(f"Error processing {path}: {e}")
-                    cells, stats = np.zeros((0, 64, 64), np.float32), []
-                sample_cells.append(cells)
-                file_summary.append(dict(
-                    filename=filename, cells_extracted=len(cells),
-                    mean_intensity=float(np.mean([s["mean_intensity"] for s in stats])) if stats else 0,
-                ))
-                print(f"  {filename}: {len(cells)} cells")
-            for path, err in stream.errors:
-                print(f"Error processing {path}: {err}")
-
-            cells = np.concatenate(sample_cells, axis=0) if sample_cells else np.zeros((0, 64, 64), np.float32)
-            print(f"  Total {sample_name} cells: {len(cells)}")
-            if len(cells) == 0:
+            scores, counts, _means = self._score_sample_frames(tif_files)
+            n_cells = len(scores["reconstruction_mse"]) if scores else 0
+            for fname, cnt in zip(scores.get("_frame_names", []), counts):
+                print(f"  {fname}: {cnt} cells")
+            print(f"  Total {sample_name} cells: {n_cells}")
+            if n_cells == 0:
                 print(f"  No quality cells extracted from {sample_name}")
                 self.meter.stop(0)
                 continue
-
-            with self.timer.stage("score_cells"):
-                scores = self.compute_anomaly_scores(cells)
-            self.meter.stop(len(cells))
+            self.meter.stop(n_cells)
 
             results[sample_name] = dict(
                 sample_name=sample_name,
-                total_cells=len(cells),
+                total_cells=n_cells,
                 files_processed=len(tif_files),
                 conservative_anomaly_rate=scores["conservative_anomaly_rate"],
                 moderate_anomaly_rate=scores["moderate_anomaly_rate"],
@@ -175,7 +236,7 @@ class ProductionMutantScreening:
                 std_mae=float(np.std(scores["reconstruction_mae"])),
             )
 
-            for i in range(len(cells)):
+            for i in range(n_cells):
                 detailed_results.append(dict(
                     sample_name=sample_name,
                     cell_id=i,

@@ -75,31 +75,18 @@ def _fit_params(seed: int = 0):
 
 
 def _batch_pipeline(model, params, frame_batch: int = 8):
-    """The production path: vmapped segmentation+candidates over a frame
-    batch, pooled bucketed preprocessing, fused scoring.  Returns a host
-    function (segs (B,H,W), greens (B,H,W)) -> (n_cells, scores)."""
-    import jax.numpy as jnp
-
+    """The production path: device-resident frame screening — vmapped
+    segmentation+candidates, fused gather+CLAHE+resize+scoring chunks; only
+    per-cell score/stat vectors cross the host link."""
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
-    from cell_image_analysis_tpu.ops.extract import extract_cells_frames
-    from cell_image_analysis_tpu.pipeline.scoring import score_cells
-
-    chunk = 128
+    from cell_image_analysis_tpu.pipeline.scoring import score_frames
 
     def run(segs, greens):
-        cells, _ = extract_cells_frames(
-            segs, greens, threshold_segment, chunk=chunk,
+        scores, stats = score_frames(
+            model, params, segs, greens, threshold_segment,
             label_capacity=4096, cell_capacity=128,
         )
-        n = len(cells)
-        if n == 0:
-            return 0, None
-        pad = (-n) % chunk
-        if pad:
-            cells = np.concatenate([cells, np.zeros((pad, 64, 64), np.float32)])
-        scores = [score_cells(model, params, jnp.asarray(cells[i : i + chunk][..., None]))
-                  for i in range(0, len(cells), chunk)]
-        return n, scores
+        return len(stats["area"]), scores
 
     return run
 

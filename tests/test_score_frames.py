@@ -1,0 +1,37 @@
+"""Device-resident frame screening equals the stagewise path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cell_image_analysis_tpu.models.segmentation import threshold_segment
+from cell_image_analysis_tpu.ops.extract import extract_cells_chunked
+from cell_image_analysis_tpu.pipeline.scoring import compute_anomaly_scores, score_frames
+from cell_image_analysis_tpu.utils.synthetic import make_frame
+from tests.test_scoring import _fitted_params
+
+
+def test_score_frames_matches_stagewise(rng):
+    model, params, _, _ = _fitted_params(rng, n_train=120)
+    frames = [make_frame(rng, size=256, n_cells=8) for _ in range(3)]
+    segs = jnp.asarray(np.stack([f[..., 2] for f in frames]).astype(np.float32))
+    greens = jnp.asarray(np.stack([f[..., 1] for f in frames]).astype(np.float32))
+
+    scores, stats = score_frames(model, params, segs, greens, threshold_segment,
+                                 chunk=8, cell_capacity=32)
+
+    # stagewise reference
+    ref_cells = []
+    for f in frames:
+        labels = threshold_segment(jnp.asarray(f[..., 2].astype(np.float32)))
+        c, _ = extract_cells_chunked(labels, jnp.asarray(f[..., 1].astype(np.float32)),
+                                     chunk=8, cell_capacity=32)
+        ref_cells.append(c)
+    ref = compute_anomaly_scores(model, params, np.concatenate(ref_cells))
+
+    n = len(stats["area"])
+    assert n == sum(len(c) for c in ref_cells) and n > 5
+    np.testing.assert_allclose(scores["reconstruction_mse"], ref["reconstruction_mse"], atol=1e-5)
+    np.testing.assert_array_equal(scores["conservative_predictions"], ref["conservative_predictions"])
+    np.testing.assert_array_equal(scores["ensemble_predictions"], ref["ensemble_predictions"])
+    np.testing.assert_allclose(scores["moderate_scores"], ref["moderate_scores"], atol=1e-4)
+    assert scores["conservative_anomaly_rate"] == ref["conservative_anomaly_rate"]
