@@ -83,6 +83,8 @@ def save_training_artifacts(
     pca: PCA,
     detectors: dict[str, OneClassSVM],
     ensemble: EnsembleDetector | None = None,
+    fft_scaler: RobustScaler | None = None,
+    fft_detector: OneClassSVM | None = None,
 ) -> None:
     """Write the full contract into `output_dir`."""
     os.makedirs(output_dir, exist_ok=True)
@@ -97,6 +99,9 @@ def save_training_artifacts(
     if ensemble is not None:
         with open(os.path.join(output_dir, "ensemble.json"), "w") as f:
             json.dump({"mse_threshold": ensemble.mse_threshold, "min_votes": ensemble.min_votes}, f)
+    if fft_scaler is not None and fft_detector is not None:
+        _save_pickle(os.path.join(output_dir, "fft_scaler.pkl"), fft_scaler)
+        _save_pickle(os.path.join(output_dir, "detector_fft.pkl"), fft_detector)
 
 
 def load_screening_artifacts(model_dir: str):
@@ -116,14 +121,41 @@ def load_screening_artifacts(model_dir: str):
         with open(ens_path) as f:
             d = json.load(f)
         ensemble = EnsembleDetector(mse_threshold=d["mse_threshold"], min_votes=d["min_votes"])
+    fft_path = os.path.join(model_dir, "detector_fft.pkl")
+    if os.path.exists(fft_path):
+        detectors["FFT"] = _load_pickle(fft_path)
+        detectors["FFT_scaler"] = _load_pickle(os.path.join(model_dir, "fft_scaler.pkl"))
     return model, variables, scaler, pca, detectors, ensemble
 
 
-def build_scoring_params(model, variables, scaler, pca, detectors, ensemble):
+def null_svm_params(dim: int):
+    """An SVM that always answers +1/normal (decision == +1): stands in for
+    the FFT detector when screening artifacts predate that capability."""
+    from cell_image_analysis_tpu.models.svm import SVMParams
+
+    return SVMParams(
+        support_vectors=jnp.zeros((1, dim), jnp.float32),
+        dual_coef=jnp.zeros((1,), jnp.float32),
+        rho=jnp.float32(-1.0),
+        gamma=jnp.float32(1.0),
+    )
+
+
+def build_scoring_params(model, variables, scaler, pca, detectors, ensemble,
+                         fft_dim: int = 16 + 8 + 3):
     """Assemble the jit-friendly ScoringParams bundle from loaded artifacts."""
     from cell_image_analysis_tpu.pipeline.scoring import ScoringParams
 
     thresh = ensemble.mse_threshold if ensemble is not None else np.inf
+    if "FFT" in detectors:
+        fft_svm = detectors["FFT"].params
+        fft_sc = detectors["FFT_scaler"]
+        fft_center = jnp.asarray(fft_sc.center_)
+        fft_scale = jnp.asarray(fft_sc.scale_)
+    else:
+        fft_svm = null_svm_params(fft_dim)
+        fft_center = jnp.zeros((fft_dim,), jnp.float32)
+        fft_scale = jnp.ones((fft_dim,), jnp.float32)
     return ScoringParams(
         cae_variables=variables,
         scaler_center=jnp.asarray(scaler.center_),
@@ -133,4 +165,7 @@ def build_scoring_params(model, variables, scaler, pca, detectors, ensemble):
         svm_conservative=detectors["Conservative"].params,
         svm_moderate=detectors["Moderate"].params,
         ensemble_mse_threshold=jnp.float32(thresh),
+        fft_scaler_center=fft_center,
+        fft_scaler_scale=fft_scale,
+        svm_fft=fft_svm,
     )

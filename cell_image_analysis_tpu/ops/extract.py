@@ -254,7 +254,7 @@ def preprocess_gather_score(
     eq = clahe_cells(c, h, w, clip_limit=clip_limit, nbins=nbins, grid=grid)
     cells = resize_cells(eq, h, w, out_size=out_size)
     s = score_cells(model, scoring_params, cells[..., None], min_votes=min_votes)
-    # pack into one (chunk, 7 + fft_dim) array so the host needs a single
+    # pack into one (chunk, 9 + fft_dim) array so the host needs a single
     # fetch per chunk (each device->host round trip costs ~30 ms here)
     return jnp.concatenate(
         [
@@ -263,6 +263,8 @@ def preprocess_gather_score(
             s.moderate_predictions[:, None].astype(jnp.float32),
             s.conservative_scores[:, None], s.moderate_scores[:, None],
             s.ensemble_predictions[:, None].astype(jnp.float32),
+            s.fft_predictions[:, None].astype(jnp.float32),
+            s.fft_scores[:, None],
             s.fft,
         ],
         axis=1,

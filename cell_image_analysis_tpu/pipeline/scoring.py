@@ -42,6 +42,12 @@ class ScoringParams(NamedTuple):
     svm_conservative: SVMParams
     svm_moderate: SVMParams
     ensemble_mse_threshold: jax.Array  # ()
+    # FFT spectral-feature detector (the README-promised "FFT analysis"
+    # capability as a first-class scorer): RobustScaler stats + one-class SVM
+    # over ops/fft_features vectors
+    fft_scaler_center: jax.Array  # (F,)
+    fft_scaler_scale: jax.Array   # (F,)
+    svm_fft: SVMParams
 
 
 class CellScores(NamedTuple):
@@ -52,6 +58,8 @@ class CellScores(NamedTuple):
     conservative_scores: jax.Array       # (B,) negated decision fn
     moderate_scores: jax.Array
     ensemble_predictions: jax.Array      # (B,) int32 {+1,-1}
+    fft_predictions: jax.Array           # (B,) int32 {+1,-1}
+    fft_scores: jax.Array                # (B,) negated decision fn
     fft: jax.Array                       # (B, F)
 
 
@@ -84,6 +92,11 @@ def score_cells(model: CAE, params: ScoringParams, X: jax.Array, min_votes: int 
     )
     p_ens = jnp.where(votes >= min_votes, -1, 1).astype(jnp.int32)
 
+    fft = fft_features(X)
+    fft_scaled = (fft - params.fft_scaler_center) / params.fft_scaler_scale
+    d_fft = decision_function(params.svm_fft, fft_scaled)
+    p_fft = jnp.where(d_fft > 0, 1, -1).astype(jnp.int32)
+
     return CellScores(
         reconstruction_mse=mse,
         reconstruction_mae=mae,
@@ -92,7 +105,9 @@ def score_cells(model: CAE, params: ScoringParams, X: jax.Array, min_votes: int 
         conservative_scores=-d_cons,
         moderate_scores=-d_mod,
         ensemble_predictions=p_ens,
-        fft=fft_features(X),
+        fft_predictions=p_fft,
+        fft_scores=-d_fft,
+        fft=fft,
     )
 
 
@@ -162,7 +177,7 @@ def score_frames(
         return {}, stats
 
     fft_dim = 16 + 8 + 3
-    packed = np.empty((n, 7 + fft_dim), np.float32)
+    packed = np.empty((n, 9 + fft_dim), np.float32)
     small = np.flatnonzero((hs[pool] <= small_cap) & (ws[pool] <= small_cap))
     large = np.flatnonzero((hs[pool] > small_cap) | (ws[pool] > small_cap))
     full_cap = crops.shape[-1]
@@ -185,9 +200,11 @@ def score_frames(
         "conservative_scores": packed[:, 4],
         "moderate_scores": packed[:, 5],
         "ensemble_predictions": packed[:, 6].astype(np.int32),
-        "fft_features": packed[:, 7:],
+        "fft_predictions": packed[:, 7].astype(np.int32),
+        "fft_scores": packed[:, 8],
+        "fft_features": packed[:, 9:],
     }
-    for name in ("conservative", "moderate", "ensemble"):
+    for name in ("conservative", "moderate", "ensemble", "fft"):
         out[f"{name}_anomaly_rate"] = float(np.mean(out[f"{name}_predictions"] == -1))
     return out, stats
 
@@ -221,9 +238,12 @@ def compute_anomaly_scores(model: CAE, params: ScoringParams, cells, valid=None)
         "conservative_scores": np.asarray(s.conservative_scores)[v],
         "moderate_scores": np.asarray(s.moderate_scores)[v],
         "ensemble_predictions": np.asarray(s.ensemble_predictions)[v],
+        "fft_predictions": np.asarray(s.fft_predictions)[v],
+        "fft_scores": np.asarray(s.fft_scores)[v],
         "fft_features": np.asarray(s.fft)[v],
         "conservative_anomaly_rate": rate(s.conservative_predictions),
         "moderate_anomaly_rate": rate(s.moderate_predictions),
         "ensemble_anomaly_rate": rate(s.ensemble_predictions),
+        "fft_anomaly_rate": rate(s.fft_predictions),
     }
     return out

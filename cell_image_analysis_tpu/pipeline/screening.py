@@ -183,7 +183,7 @@ class ProductionMutantScreening:
             if k.endswith("_anomaly_rate"):
                 continue
             merged[k] = np.concatenate([s[k] for s in all_scores])
-        for name in ("conservative", "moderate", "ensemble"):
+        for name in ("conservative", "moderate", "ensemble", "fft"):
             merged[f"{name}_anomaly_rate"] = float(
                 np.mean(merged[f"{name}_predictions"] == -1)
             )
@@ -230,6 +230,7 @@ class ProductionMutantScreening:
                 conservative_anomaly_rate=scores["conservative_anomaly_rate"],
                 moderate_anomaly_rate=scores["moderate_anomaly_rate"],
                 ensemble_anomaly_rate=scores["ensemble_anomaly_rate"],
+                fft_anomaly_rate=scores.get("fft_anomaly_rate", 0.0),
                 mean_mse=float(np.mean(scores["reconstruction_mse"])),
                 std_mse=float(np.std(scores["reconstruction_mse"])),
                 mean_mae=float(np.mean(scores["reconstruction_mae"])),
@@ -245,6 +246,7 @@ class ProductionMutantScreening:
                     conservative_anomaly=bool(scores["conservative_predictions"][i] == -1),
                     moderate_anomaly=bool(scores["moderate_predictions"][i] == -1),
                     ensemble_anomaly=bool(scores["ensemble_predictions"][i] == -1),
+                    fft_anomaly=bool(scores["fft_predictions"][i] == -1),
                     conservative_score=float(scores["conservative_scores"][i]),
                     moderate_score=float(scores["moderate_scores"][i]),
                 ))

@@ -218,9 +218,24 @@ class ImprovedAnomalyDetectionTraining:
                              reconstruction_errors(model, variables, jnp.asarray(X)))
         ensemble = EnsembleDetector.fit(np.asarray(mse_errors), self.config.ensemble)
 
+        # FFT spectral-feature detector (first-class per BASELINE.json;
+        # README.md:3's promised "FFT analysis")
+        from cell_image_analysis_tpu.ops.fft_features import fft_features
+
+        fft = np.asarray(fft_features(jnp.asarray(X), radial_bins=self.config.fft.radial_bins,
+                                      angular_bins=self.config.fft.angular_bins,
+                                      log_power=self.config.fft.log_power))
+        fft_scaler = RobustScaler().fit(fft)
+        fft_detector = OneClassSVM(nu=self.config.detector.nu_moderate,
+                                   gamma=self.config.detector.gamma)
+        fft_detector.fit(np.asarray(fft_scaler.transform(fft)))
+        fft_rate = (fft_detector.predict(np.asarray(fft_scaler.transform(fft))) == -1).mean()
+        print(f"FFT: {fft_rate * 100:.2f}%")
+
         artifacts.save_training_artifacts(
             self.output_dir, model, variables, self._final_variables,
             scaler, pca, detectors, ensemble,
+            fft_scaler=fft_scaler, fft_detector=fft_detector,
         )
         return detectors, scaler, pca, ensemble
 

@@ -59,15 +59,16 @@ def _fit_params(seed: int = 0):
     mod = OneClassSVM(nu=0.10).fit(reduced)
     mse, _ = reconstruction_errors(model, variables, jnp.asarray(X))
     ens = EnsembleDetector.fit(np.asarray(mse))
-    params = ScoringParams(
-        cae_variables=variables,
-        scaler_center=jnp.asarray(scaler.center_),
-        scaler_scale=jnp.asarray(scaler.scale_),
-        pca_mean=jnp.asarray(pca.mean_),
-        pca_components=jnp.asarray(pca.components_),
-        svm_conservative=cons.params,
-        svm_moderate=mod.params,
-        ensemble_mse_threshold=jnp.float32(ens.mse_threshold),
+    from cell_image_analysis_tpu.io.artifacts import build_scoring_params
+    from cell_image_analysis_tpu.ops.fft_features import fft_features
+
+    fft = np.asarray(fft_features(jnp.asarray(X)))
+    fft_scaler = RobustScaler().fit(fft)
+    fft_det = OneClassSVM(nu=0.10).fit(np.asarray(fft_scaler.transform(fft)))
+    params = build_scoring_params(
+        model, variables, scaler, pca,
+        {"Conservative": cons, "Moderate": mod, "FFT": fft_det, "FFT_scaler": fft_scaler},
+        ens,
     )
     host = dict(model=model, variables=variables, scaler=scaler, pca=pca,
                 cons=cons, mod=mod, ens=ens)
@@ -84,7 +85,7 @@ def _batch_pipeline(model, params, frame_batch: int = 8):
     def run(segs, greens):
         scores, stats = score_frames(
             model, params, segs, greens, threshold_segment,
-            label_capacity=4096, cell_capacity=128,
+            chunk=256, label_capacity=4096, cell_capacity=128,
         )
         return len(stats["area"]), scores
 
