@@ -42,8 +42,82 @@ class RegionProps(NamedTuple):
     valid: jax.Array         # (K,) bool
 
 
-@partial(jax.jit, static_argnames=("capacity", "fg_fraction"))
-def regionprops(labels: jax.Array, capacity: int, fg_fraction: float = 0.25) -> RegionProps:
+def _segment_sums_mxu(seg: jax.Array, data: jax.Array, n_seg: int, blk: int = 2048) -> jax.Array:
+    """segment_sum(data, seg) as block-scanned one-hot matmuls on the MXU.
+
+    seg: (P,) int32 in [0, n_seg); data: (P, F) float32.  Exact for counts and
+    coordinate sums: the one-hots are 0/1 bf16 and accumulation is f32 via
+    preferred_element_type.  Beats TPU scatter when n_seg is modest
+    (histogram-style workloads); the scatter path stays for CPU."""
+    P, F = data.shape
+    n_pad = -(-n_seg // 128) * 128  # lane-align the segment axis
+    n_blocks = (P + blk - 1) // blk
+    pad = n_blocks * blk - P
+    seg_b = jnp.pad(seg, (0, pad), constant_values=n_pad - 1).reshape(n_blocks, blk)
+    data_b = jnp.pad(data, ((0, pad), (0, 0))).reshape(n_blocks, blk, F)
+    ids = jnp.arange(n_pad)
+
+    def step(acc, args):
+        s, d = args
+        # f32 one-hot (0/1 exact) so the float feature columns keep full
+        # precision through the contraction
+        onehot = (s[:, None] == ids[None, :]).astype(jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            onehot, d.astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    out, _ = jax.lax.scan(step, jnp.zeros((n_pad, F), jnp.float32), (seg_b, data_b))
+    return out[:n_seg]
+
+
+def _bbox_mxu(seg: jax.Array, rr: jax.Array, cc: jax.Array, n_seg: int,
+              h: int, w: int, blk: int = 2048):
+    """Per-segment bbox via presence matrices: presence[s, r] > 0 iff segment
+    s has a pixel in row r (one matmul per axis), then min/max through masked
+    iota reductions — no scatter."""
+    P = seg.shape[0]
+    n_pad = -(-n_seg // 128) * 128
+    n_blocks = (P + blk - 1) // blk
+    pad = n_blocks * blk - P
+    seg_b = jnp.pad(seg, (0, pad), constant_values=n_pad - 1).reshape(n_blocks, blk)
+    rr_b = jnp.pad(rr, (0, pad)).reshape(n_blocks, blk)
+    cc_b = jnp.pad(cc, (0, pad)).reshape(n_blocks, blk)
+    ids = jnp.arange(n_pad)
+    hp = -(-h // 128) * 128
+    wp = -(-w // 128) * 128
+
+    def step(acc, args):
+        s, r, c = args
+        onehot_s = (s[:, None] == ids[None, :]).astype(jnp.bfloat16)
+        onehot_r = (r[:, None] == jnp.arange(hp)[None, :]).astype(jnp.bfloat16)
+        onehot_c = (c[:, None] == jnp.arange(wp)[None, :]).astype(jnp.bfloat16)
+        pr = jax.lax.dot_general(onehot_s, onehot_r, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        pc = jax.lax.dot_general(onehot_s, onehot_c, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return (acc[0] + pr, acc[1] + pc), None
+
+    (pres_r, pres_c), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((n_pad, hp), jnp.float32), jnp.zeros((n_pad, wp), jnp.float32)),
+        (seg_b, rr_b, cc_b),
+    )
+    big = jnp.int32(1 << 30)
+    ridx = jnp.arange(hp)[None, :]
+    cidx = jnp.arange(wp)[None, :]
+    min_r = jnp.min(jnp.where(pres_r[:n_seg] > 0, ridx, big), axis=1)
+    max_r = jnp.max(jnp.where(pres_r[:n_seg] > 0, ridx, -1), axis=1)
+    min_c = jnp.min(jnp.where(pres_c[:n_seg] > 0, cidx, big), axis=1)
+    max_c = jnp.max(jnp.where(pres_c[:n_seg] > 0, cidx, -1), axis=1)
+    return min_r, min_c, max_r, max_c
+
+
+@partial(jax.jit, static_argnames=("capacity", "fg_fraction", "impl"))
+def regionprops(labels: jax.Array, capacity: int, fg_fraction: float = 0.25,
+                impl: str = "auto") -> RegionProps:
     """Compute properties for labels 1..capacity of an (H, W) int32 map.
 
     Foreground pixels are compacted to a fixed capacity (`fg_fraction` of the
@@ -70,26 +144,42 @@ def regionprops(labels: jax.Array, capacity: int, fg_fraction: float = 0.25) -> 
     rr = fgi // w
     cc = fgi % w
 
-    # Fused reductions: each segment op over the full frame is a sort/scatter
-    # pass on TPU, so the nine original reductions are packed into one
-    # stacked sum, one stacked max (min = max of negation), and one stacked
-    # sum for the central moments — 3 passes total.
+    if impl == "auto":
+        # measured: with ~4k segments the one-hot matmuls lose to scatter on
+        # TPU too — XLA materializes the (block, n_seg) one-hots in HBM
+        # (34 MB/block), unlike the 128-wide CLAHE histograms that stay
+        # fused.  "mxu" remains available for narrow-capacity configs and as
+        # the blueprint for a VMEM-resident Pallas kernel.
+        impl = "scatter"
+
+    # Fused reductions: the nine original per-frame passes are packed into
+    # one stacked sum, one bbox pass, and one stacked central-moment sum.
     rf = rr.astype(jnp.float32)
     cf = cc.astype(jnp.float32)
-    sum1 = jax.ops.segment_sum(
-        jnp.stack([jnp.ones_like(rf), rf, cf], axis=1), seg, num_segments=n_seg
-    )[:capacity]
+    if impl == "mxu":
+        sum1 = _segment_sums_mxu(seg, jnp.stack([jnp.ones_like(rf), rf, cf], axis=1), n_seg)[:capacity]
+    else:
+        sum1 = jax.ops.segment_sum(
+            jnp.stack([jnp.ones_like(rf), rf, cf], axis=1), seg, num_segments=n_seg
+        )[:capacity]
     area = sum1[:, 0].astype(jnp.int32)
     valid = area > 0
     areaf = jnp.maximum(sum1[:, 0], 1.0)
 
-    mx = jax.ops.segment_max(
-        jnp.stack([rr, cc, -rr, -cc], axis=1), seg, num_segments=n_seg
-    )[:capacity]
-    max_r = jnp.where(valid, mx[:, 0] + 1, 0)
-    max_c = jnp.where(valid, mx[:, 1] + 1, 0)
-    min_r = jnp.where(valid, -mx[:, 2], 0)
-    min_c = jnp.where(valid, -mx[:, 3], 0)
+    if impl == "mxu":
+        mnr, mnc, mxr, mxc = _bbox_mxu(seg, rr, cc, capacity, h, w)
+        min_r = jnp.where(valid, mnr, 0)
+        min_c = jnp.where(valid, mnc, 0)
+        max_r = jnp.where(valid, mxr + 1, 0)
+        max_c = jnp.where(valid, mxc + 1, 0)
+    else:
+        mx = jax.ops.segment_max(
+            jnp.stack([rr, cc, -rr, -cc], axis=1), seg, num_segments=n_seg
+        )[:capacity]
+        max_r = jnp.where(valid, mx[:, 0] + 1, 0)
+        max_c = jnp.where(valid, mx[:, 1] + 1, 0)
+        min_r = jnp.where(valid, -mx[:, 2], 0)
+        min_c = jnp.where(valid, -mx[:, 3], 0)
 
     cy, cx = sum1[:, 1] / areaf, sum1[:, 2] / areaf
     # central second moments in a second pass: gathering each pixel's segment
@@ -98,11 +188,13 @@ def regionprops(labels: jax.Array, capacity: int, fg_fraction: float = 0.25) -> 
     # frames)
     cy_full = jnp.concatenate([cy, jnp.zeros((1,), cy.dtype)])
     cx_full = jnp.concatenate([cx, jnp.zeros((1,), cx.dtype)])
-    dr = rf - cy_full[seg]
-    dc = cf - cx_full[seg]
-    sum2 = jax.ops.segment_sum(
-        jnp.stack([dr * dr, dc * dc, dr * dc], axis=1), seg, num_segments=n_seg
-    )[:capacity]
+    dr = rf - cy_full[jnp.minimum(seg, capacity)]
+    dc = cf - cx_full[jnp.minimum(seg, capacity)]
+    moment_data = jnp.stack([dr * dr, dc * dc, dr * dc], axis=1)
+    if impl == "mxu":
+        sum2 = _segment_sums_mxu(seg, moment_data, n_seg)[:capacity]
+    else:
+        sum2 = jax.ops.segment_sum(moment_data, seg, num_segments=n_seg)[:capacity]
     mu20 = sum2[:, 0] / areaf
     mu02 = sum2[:, 1] / areaf
     mu11 = sum2[:, 2] / areaf

@@ -144,33 +144,33 @@ def score_frames(
         def one(seg, green):
             labels = segment_fn(seg)
             cand = extract_candidates(labels, green, **candidate_kwargs)
-            ints = jnp.stack([
-                cand.valid.astype(jnp.int32), cand.heights, cand.widths,
-                cand.label_ids, cand.area,
+            packed = jnp.stack([
+                cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
+                cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
+                cand.area.astype(jnp.float32), cand.eccentricity,
+                cand.mean_intensity, cand.std_intensity,
             ])
-            floats = jnp.stack([cand.eccentricity, cand.mean_intensity, cand.std_intensity])
-            return cand.crops, cand.heights, cand.widths, ints, floats
+            return cand.crops, cand.heights, cand.widths, packed
         return jax.vmap(one)(segs, greens)
 
-    crops, heights, widths, ints, floats = stage_a(segs, greens)
+    crops, heights, widths, packed_stats = stage_a(segs, greens)
     B, cap = crops.shape[0], crops.shape[1]
     crops = crops.reshape(B * cap, *crops.shape[2:])
     heights = heights.reshape(-1)
     widths = widths.reshape(-1)
-    ints_h = np.asarray(ints)      # (B, 5, cap) — one transfer
-    floats_h = np.asarray(floats)  # (B, 3, cap) — one transfer
-    valid = ints_h[:, 0].reshape(-1).astype(bool)
-    hs = ints_h[:, 1].reshape(-1)
-    ws = ints_h[:, 2].reshape(-1)
+    st = np.asarray(packed_stats)  # (B, 8, cap) — ONE transfer
+    valid = st[:, 0].reshape(-1) > 0.5
+    hs = st[:, 1].reshape(-1).astype(np.int32)
+    ws = st[:, 2].reshape(-1).astype(np.int32)
 
     pool = np.flatnonzero(valid)
     n = len(pool)
     stats = dict(
-        label_ids=ints_h[:, 3].reshape(-1)[pool],
-        area=ints_h[:, 4].reshape(-1)[pool],
-        eccentricity=floats_h[:, 0].reshape(-1)[pool],
-        mean_intensity=floats_h[:, 1].reshape(-1)[pool],
-        std_intensity=floats_h[:, 2].reshape(-1)[pool],
+        label_ids=st[:, 3].reshape(-1).astype(np.int32)[pool],
+        area=st[:, 4].reshape(-1).astype(np.int32)[pool],
+        eccentricity=st[:, 5].reshape(-1)[pool],
+        mean_intensity=st[:, 6].reshape(-1)[pool],
+        std_intensity=st[:, 7].reshape(-1)[pool],
         frame_index=pool // cap,
     )
     if n == 0:
@@ -181,6 +181,7 @@ def score_frames(
     small = np.flatnonzero((hs[pool] <= small_cap) & (ws[pool] <= small_cap))
     large = np.flatnonzero((hs[pool] > small_cap) | (ws[pool] > small_cap))
     full_cap = crops.shape[-1]
+    pending = []
     for bucket, cap_b in ((small, small_cap), (large, full_cap)):
         for start in range(0, len(bucket), chunk):
             take = bucket[start : start + chunk]
@@ -190,7 +191,9 @@ def score_frames(
                 model, params, crops, heights, widths, jnp.asarray(idx), cap_b,
                 out_size=out_size, clip_limit=clip_limit, min_votes=min_votes,
             )
-            packed[take] = np.asarray(s)[: len(take)]  # ONE fetch per chunk
+            pending.append((take, s))  # async dispatch; fetch after all queue
+    for take, s in pending:
+        packed[take] = np.asarray(s)[: len(take)]  # ONE fetch per chunk
 
     out = {
         "reconstruction_mse": packed[:, 0],
