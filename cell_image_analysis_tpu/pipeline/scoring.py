@@ -122,6 +122,7 @@ def score_frames(
     min_votes: int = 2,
     out_size: int = 64,
     clip_limit: float = 0.02,
+    mesh=None,
     **candidate_kwargs,
 ) -> dict:
     """Device-resident screening of a (B, H, W) frame stack: vmapped
@@ -129,6 +130,11 @@ def score_frames(
     packed chunk.  Bulk tensors never reach the host — only per-cell stats
     and score vectors do (two consolidated fetches + KBs per chunk), which is
     what the throughput of remote-attached chips is bound by.
+
+    With a `mesh`, the frame batch shards over the 'data' axis (frames are
+    i.i.d. — the SURVEY.md section 2.4 workhorse strategy) and parameters
+    replicate; XLA inserts the collectives.  B should be a multiple of the
+    mesh size.
 
     Returns the compute_anomaly_scores dict schema plus per-cell stats and
     frame_index."""
@@ -138,6 +144,13 @@ def score_frames(
         extract_candidates,
         preprocess_gather_score,
     )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        segs = jax.device_put(segs, NamedSharding(mesh, P("data", None, None)))
+        greens = jax.device_put(greens, NamedSharding(mesh, P("data", None, None)))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
 
     @jax.jit
     def stage_a(segs, greens):

@@ -142,6 +142,7 @@ class ProductionMutantScreening:
                 scores, stats = score_frames(
                     self.model, self.scoring_params, segs, greens,
                     lambda s: segment_frame(s, cfg.seg, self.unet_variables),
+                    mesh=self.mesh,
                     label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
                     cell_capacity=cfg.extract.cell_capacity,
                     crop_capacity=cfg.extract.crop_capacity,

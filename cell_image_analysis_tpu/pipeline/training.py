@@ -48,13 +48,23 @@ from cell_image_analysis_tpu.utils.profiler import StageTimer
 
 def _solidity_for_labels(labels: np.ndarray, label_ids: np.ndarray, areas: np.ndarray) -> np.ndarray:
     """Host-side solidity (report-only stat, never a QC gate — SURVEY.md
-    section 2.3: convex hull per cell via monotone chain)."""
+    section 2.3: convex hull per cell via monotone chain).  Bounding boxes
+    are found once with a vectorized pass so each hull only scans its own
+    bbox, not the frame."""
+    from scipy import ndimage as ndi
+
     out = np.zeros(len(label_ids), np.float64)
+    if not len(label_ids):
+        return out
+    slices = ndi.find_objects(labels)  # one C pass for every label's bbox
     for i, (lab, area) in enumerate(zip(label_ids, areas)):
-        if lab <= 0:
+        if lab <= 0 or lab > len(slices) or slices[lab - 1] is None:
             continue
-        rs, cs = np.nonzero(labels == lab)
-        ca = convex_area(np.stack([rs, cs], axis=1))
+        sl = slices[lab - 1]
+        rr, cc = np.nonzero(labels[sl] == lab)
+        if not len(rr):
+            continue
+        ca = convex_area(np.stack([rr + sl[0].start, cc + sl[1].start], axis=1))
         out[i] = float(area) / ca if ca else 0.0
     return out
 

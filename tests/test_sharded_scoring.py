@@ -36,3 +36,24 @@ def test_sharded_scoring_matches_single_device(rng):
     r2 = float(masked_anomaly_rate(sharded.conservative_predictions,
                                    jax.device_put(jnp.ones(64, bool), NamedSharding(mesh, P("data")))))
     assert r1 == r2
+
+
+def test_score_frames_sharded_matches_unsharded(rng):
+    from cell_image_analysis_tpu.models.segmentation import threshold_segment
+    from cell_image_analysis_tpu.pipeline.scoring import score_frames
+    from cell_image_analysis_tpu.utils.synthetic import make_frame
+
+    model, params, _, _ = _fitted_params(rng, n_train=120)
+    frames = [make_frame(rng, size=256, n_cells=8) for _ in range(8)]
+    segs = jnp.asarray(np.stack([f[..., 2] for f in frames]).astype(np.float32))
+    greens = jnp.asarray(np.stack([f[..., 1] for f in frames]).astype(np.float32))
+
+    ref, ref_stats = score_frames(model, params, segs, greens, threshold_segment,
+                                  chunk=16, cell_capacity=32)
+    mesh = make_mesh(8)
+    out, out_stats = score_frames(model, params, segs, greens, threshold_segment,
+                                  chunk=16, cell_capacity=32, mesh=mesh)
+    np.testing.assert_array_equal(ref_stats["area"], out_stats["area"])
+    np.testing.assert_allclose(ref["reconstruction_mse"], out["reconstruction_mse"], atol=1e-5)
+    np.testing.assert_array_equal(ref["conservative_predictions"], out["conservative_predictions"])
+    assert ref["moderate_anomaly_rate"] == out["moderate_anomaly_rate"]
