@@ -126,7 +126,69 @@ def overlap_matrix(centers: jax.Array, dists: jax.Array, metric: str = "iou") ->
     return O * (1.0 - jnp.eye(K, dtype=O.dtype))
 
 
-@partial(jax.jit, static_argnames=("metric",))
+@partial(jax.jit, static_argnames=("metric", "max_pairs"))
+def overlap_matrix_sparse(
+    centers: jax.Array,
+    dists: jax.Array,
+    valid: jax.Array,
+    metric: str = "iou",
+    max_pairs: int = 8192,
+) -> jax.Array:
+    """(K, K) pairwise overlap via candidate-pair compaction.
+
+    Two star polygons can only intersect when their center distance is below
+    the sum of their max radii, so the dense K^2 quadrature (the measured
+    hot spot: ~2 s/frame at K=512) collapses to the top-`max_pairs` closest
+    center-distance candidates — quadrature runs per PAIR and scatters back.
+    The quadrature integrates over the smaller polygon of each pair (best
+    accuracy for both IoU and intersection-over-smaller).  If more than
+    max_pairs candidate pairs exist the farthest are dropped (logged nowhere
+    on-device — size max_pairs for the workload; 8192 covers ~16 overlaps
+    per candidate at K=512)."""
+    K = centers.shape[0]
+    areas = polygon_areas(dists)
+    rmax = jnp.max(dists, axis=-1)
+
+    dy = centers[:, 0][:, None] - centers[:, 0][None, :]
+    dx = centers[:, 1][:, None] - centers[:, 1][None, :]
+    d2 = dy * dy + dx * dx
+    rsum = rmax[:, None] + rmax[None, :]
+    idx = jnp.arange(K)
+    cand = (d2 < rsum * rsum) & valid[:, None] & valid[None, :] & (idx[:, None] < idx[None, :])
+
+    masked = jnp.where(cand, d2, jnp.inf).reshape(-1)
+    max_pairs = min(max_pairs, masked.shape[0])
+    neg, flat_idx = jax.lax.top_k(-masked, max_pairs)
+    pair_ok = jnp.isfinite(neg)
+    ii = flat_idx // K
+    jj = flat_idx % K
+
+    # integrate over the smaller polygon of each pair
+    swap = areas[jj] < areas[ii]
+    pi = jnp.where(swap, jj, ii)
+    pj = jnp.where(swap, ii, jj)
+    pts, w = _quadrature(dists[pi], centers[pi])        # (M, S, 2), (M, S)
+    dyp = pts[:, :, 0] - centers[pj, 0][:, None]
+    dxp = pts[:, :, 1] - centers[pj, 1][:, None]
+    rho = jnp.sqrt(dyp * dyp + dxp * dxp)
+    theta = jnp.arctan2(dyp, dxp)
+    rb = radius_at(dists[pj][:, None, :], theta)        # (M, S)
+    inter = jnp.sum(w * (rho <= rb), axis=1)
+    inter = jnp.minimum(inter, jnp.minimum(areas[pi], areas[pj]))
+    if metric == "ios":
+        denom = jnp.minimum(areas[pi], areas[pj])
+    else:
+        denom = areas[pi] + areas[pj] - inter
+    o = jnp.where(pair_ok, inter / jnp.maximum(denom, 1e-12), 0.0)
+
+    ii_s = jnp.where(pair_ok, ii, K)
+    jj_s = jnp.where(pair_ok, jj, K)
+    O = jnp.zeros((K + 1, K + 1), jnp.float32)
+    O = O.at[ii_s, jj_s].set(o).at[jj_s, ii_s].set(o)
+    return O[:K, :K]
+
+
+@partial(jax.jit, static_argnames=("metric", "max_pairs"))
 def star_nms(
     centers: jax.Array,
     dists: jax.Array,
@@ -134,10 +196,11 @@ def star_nms(
     valid: jax.Array,
     nms_thresh: float = 0.3,
     metric: str = "iou",
+    max_pairs: int = 8192,
 ) -> jax.Array:
     """Greedy NMS (exact fixpoint formulation).  Returns keep mask (K,)."""
     K = probs.shape[0]
-    O = overlap_matrix(centers, dists, metric=metric)
+    O = overlap_matrix_sparse(centers, dists, valid, metric=metric, max_pairs=max_pairs)
     over = O > nms_thresh
 
     # "higher priority" = higher prob; ties broken by index (stable greedy)

@@ -2,12 +2,20 @@
 
 Replaces StarDist's C++ `polygons_to_label` (inside `predict_instances`,
 CAE_improved_modeltrain.py:54).  Each kept polygon renders into a local
-patch via the O(1) star inside-test and is scattered into the frame canvas
-with `dynamic_update_slice` inside a `lax.scan`; polygons are written in
-ascending-probability order so the highest-probability polygon wins
-overlapping pixels (StarDist draws ascending so later/better overwrites).
-Label ids are 1..n_kept in descending-probability order, matching StarDist's
-instance numbering.
+patch via the O(1) star inside-test; overlapping pixels go to the
+highest-probability polygon (StarDist draws ascending so the best polygon
+overwrites).  Label ids are 1..n_kept in descending-probability order,
+matching StarDist's instance numbering.
+
+Implementation: ONE scatter-max over all polygons' patch pixels with the
+priority packed into the value — key = prob_q << 16 | (0xFFFF - label) — so
+the whole render is a single parallel pass instead of a K-step sequential
+scan (measured: the scan was ~1 s for K=512 on TPU; the scatter is
+milliseconds).  Probability ties resolve to the higher-priority (lower
+label id = higher prob rank) polygon; probabilities are quantized to 15
+bits for the key, which only affects ordering of polygons whose probs are
+within 2^-15 of each other — and any such pair overlapping survivors is
+already an NMS coin-flip.
 """
 
 from __future__ import annotations
@@ -38,33 +46,33 @@ def rasterize_polygons(
     ranks = jnp.zeros(K, jnp.int32).at[order_desc].set(jnp.arange(K, dtype=jnp.int32))
     label_ids = jnp.where(keep, ranks + 1, 0)
 
-    # draw ascending prob so better polygons overwrite
-    order_asc = order_desc[::-1]
-
-    canvas = jnp.zeros((height + 2 * patch, width + 2 * patch), jnp.int32)
     half = patch // 2
+    r0 = jnp.round(centers[:, 0]).astype(jnp.int32) - half   # (K,)
+    c0 = jnp.round(centers[:, 1]).astype(jnp.int32) - half
 
-    yy = jnp.arange(patch, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(patch, dtype=jnp.float32)[None, :]
+    dy = jnp.arange(patch, dtype=jnp.float32)[None, :, None]
+    dx = jnp.arange(patch, dtype=jnp.float32)[None, None, :]
+    py = dy + r0[:, None, None].astype(jnp.float32) - centers[:, 0][:, None, None]
+    px = dx + c0[:, None, None].astype(jnp.float32) - centers[:, 1][:, None, None]
+    rho = jnp.sqrt(py * py + px * px)
+    theta = jnp.arctan2(py, px)
+    rb = radius_at(dists[:, None, None, :], theta)           # (K, patch, patch)
+    inside = (rho <= rb) & keep[:, None, None]
 
-    def body(canvas, k):
-        c = centers[k]
-        d = dists[k]
-        lab = label_ids[k]
-        r0 = jnp.round(c[0]).astype(jnp.int32) - half + patch
-        c0 = jnp.round(c[1]).astype(jnp.int32) - half + patch
-        r0 = jnp.clip(r0, 0, height + patch)
-        c0 = jnp.clip(c0, 0, width + patch)
-        # patch-local coordinates of pixel centers
-        py = yy + (r0 - patch).astype(jnp.float32) - c[0]
-        px = xx + (c0 - patch).astype(jnp.float32) - c[1]
-        rho = jnp.sqrt(py * py + px * px)
-        theta = jnp.arctan2(py, px)
-        rb = radius_at(d[None, None, :], theta)
-        inside = (rho <= rb) & (lab > 0)
-        tile = jax.lax.dynamic_slice(canvas, (r0, c0), (patch, patch))
-        tile = jnp.where(inside, lab, tile)
-        return jax.lax.dynamic_update_slice(canvas, tile, (r0, c0)), None
+    # global flat indices; off-frame or outside pixels go to a dump slot
+    gy = r0[:, None, None] + jnp.arange(patch)[None, :, None]
+    gx = c0[:, None, None] + jnp.arange(patch)[None, None, :]
+    on_frame = (gy >= 0) & (gy < height) & (gx >= 0) & (gx < width)
+    ok = inside & on_frame
+    flat = jnp.where(ok, gy * width + gx, height * width)
 
-    canvas, _ = jax.lax.scan(body, canvas, order_asc)
-    return canvas[patch : patch + height, patch : patch + width]
+    # priority key: 15-bit quantized prob, low 16 bits favor smaller label
+    prob_q = jnp.clip((probs * 32767.0), 0, 32767).astype(jnp.int32)
+    key = (prob_q << 16) | (0xFFFF - label_ids)
+    vals = jnp.where(ok, key[:, None, None], 0)
+
+    canvas = jnp.zeros(height * width + 1, jnp.int32)
+    canvas = canvas.at[flat.reshape(-1)].max(vals.reshape(-1))
+    canvas = canvas[: height * width]
+    labels = jnp.where(canvas > 0, 0xFFFF - (canvas & 0xFFFF), 0)
+    return labels.reshape(height, width).astype(jnp.int32)
