@@ -15,7 +15,7 @@ import os
 import threading
 from dataclasses import dataclass, field
 from glob import glob
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator
 
 import numpy as np
 

@@ -19,8 +19,6 @@ the artifact store saves both views (config.ARTIFACT_* names).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

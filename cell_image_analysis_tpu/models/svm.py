@@ -22,7 +22,6 @@ decision > 0 <=> inlier (+1), else anomaly (-1); the pipelines report the
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -138,8 +138,6 @@ def score_frames(
 
     Returns the compute_anomaly_scores dict schema plus per-cell stats and
     frame_index."""
-    from functools import partial as _partial
-
     from cell_image_analysis_tpu.ops.extract import (
         extract_candidates,
         preprocess_gather_score,

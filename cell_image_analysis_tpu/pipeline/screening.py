@@ -14,8 +14,6 @@ rates reduce with psum (parallel/sharding.py).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,8 +23,6 @@ file names, report formats, printed baseline anomaly rates
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd

@@ -45,7 +45,6 @@ def _fit_params(seed: int = 0):
     from cell_image_analysis_tpu.models.pca import PCA
     from cell_image_analysis_tpu.models.scaler import RobustScaler
     from cell_image_analysis_tpu.models.svm import OneClassSVM
-    from cell_image_analysis_tpu.pipeline.scoring import ScoringParams
     from cell_image_analysis_tpu.utils.synthetic import make_cells
 
     rng = np.random.default_rng(seed)
