@@ -251,5 +251,80 @@ def clahe_cells(
         impl = "scatter" if jax.default_backend() == "cpu" else "mxu"
     cap = crops.shape[-1]
     vcap = cap + max(1, cap // grid)  # covers ceil(s/k)*k <= s + k - 1
+    if impl == "pallas":
+        return _clahe_cells_pallas(crops, heights, widths, clip_limit, nbins, grid, vcap)
     fn = lambda c, h, w: _clahe_one(c, h, w, clip_limit, nbins, grid, vcap, impl)
     return jax.vmap(fn)(crops, heights, widths)
+
+
+def _clahe_cells_pallas(crops, heights, widths, clip_limit, nbins, grid, vcap):
+    """impl='pallas': XLA computes the per-cell index/weight arrays (cheap
+    elementwise + the reflect gather); the fused VMEM kernel
+    (ops/pallas/clahe_kernel.py) does histograms, clip, CDF, interpolation."""
+    from cell_image_analysis_tpu.ops.pallas.clahe_kernel import clahe_core_pallas
+
+    cap = crops.shape[-1]
+    P = cap * cap
+    Pv = vcap * vcap
+    Pv_pad = -(-Pv // 512) * 512
+    assert P % 512 == 0, "crop capacity^2 must be a multiple of 512 for impl='pallas'"
+
+    def prepare(crop, h, w):
+        ys = jnp.arange(cap)
+        valid = (ys[:, None] < h) & (ys[None, :] < w)
+        big = jnp.float32(jnp.finfo(jnp.float32).max)
+        v = crop.astype(jnp.float32)
+        lo = jnp.min(jnp.where(valid, v, big))
+        hi = jnp.max(jnp.where(valid, v, -big))
+        scale = jnp.where(hi > lo, (NR_OF_GRAY - 1) / (hi - lo), 0.0)
+        img14 = jnp.round((v - lo) * scale).astype(jnp.int32)
+        bin_size = 1 + NR_OF_GRAY // nbins
+        binned = jnp.clip(img14 // bin_size, 0, nbins - 1)
+
+        kh = jnp.maximum(1, h // grid)
+        kw = jnp.maximum(1, w // grid)
+        ns_h = (h + kh - 1) // kh
+        ns_w = (w + kw - 1) // kw
+
+        yv = jnp.arange(vcap)
+        vtiles = ((yv[:, None] // kh) * NS_CAP + yv[None, :] // kw).reshape(-1)
+        vvalid = ((yv[:, None] < ns_h * kh) & (yv[None, :] < ns_w * kw)).reshape(-1)
+        vbins = binned[_reflect(yv, h)[:, None], _reflect(yv, w)[None, :]].reshape(-1)
+        pad = Pv_pad - Pv
+        vtiles = jnp.pad(vtiles, (0, pad))
+        vvalid = jnp.pad(vvalid, (0, pad))
+        vbins = jnp.pad(vbins, (0, pad))
+
+        yp = ys[:, None] + kh // 2
+        xp = ys[None, :] + kw // 2
+        pty = yp // kh
+        ptx = xp // kw
+        cy = (yp % kh).astype(jnp.float32) / kh.astype(jnp.float32)
+        cx = (xp % kw).astype(jnp.float32) / kw.astype(jnp.float32)
+        tiles4, w4 = [], []
+        for ey in (0, 1):
+            my = jnp.clip(pty - 1 + ey, 0, ns_h - 1)
+            wy = cy if ey else 1.0 - cy
+            for ex in (0, 1):
+                mx = jnp.clip(ptx - 1 + ex, 0, ns_w - 1)
+                wx = cx if ex else 1.0 - cx
+                tiles4.append((my * NS_CAP + mx).reshape(-1))
+                w4.append((wy * wx).reshape(-1))
+        ptiles = jnp.stack(tiles4, axis=1)  # (P, 4)
+        pw = jnp.stack(w4, axis=1)
+        clim = jnp.maximum(1, (clip_limit * (kh * kw).astype(jnp.float32)).astype(jnp.int32))
+        area = (kh * kw).astype(jnp.float32)
+        return (clim, area, vbins, vtiles, vvalid, binned.reshape(-1), ptiles, pw,
+                valid, lo, hi)
+
+    (clim, area, vbins, vtiles, vvalid, pbins, ptiles, pw, valid, lo, hi) = jax.vmap(prepare)(
+        crops, heights, widths
+    )
+    vals = clahe_core_pallas(clim, area, vbins, vtiles, vvalid, pbins, ptiles, pw)
+    out = vals.reshape(-1, cap, cap)
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    lo2 = jnp.min(jnp.where(valid, out, big), axis=(1, 2), keepdims=True)
+    hi2 = jnp.max(jnp.where(valid, out, -big), axis=(1, 2), keepdims=True)
+    scale2 = jnp.where(hi2 > lo2, 1.0 / (hi2 - lo2), 0.0)
+    return jnp.where(valid, (out - lo2) * scale2, 0.0)

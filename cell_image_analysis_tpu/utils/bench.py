@@ -74,15 +74,18 @@ def _fit_params(seed: int = 0):
     return model, params, host
 
 
-def _batch_pipeline(model, params, frame_batch: int = 8):
+def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = False):
     """The production path: device-resident frame screening — vmapped
-    segmentation+candidates, fused gather+CLAHE+resize+scoring chunks; only
-    per-cell score/stat vectors cross the host link."""
+    segmentation+candidates, fused gather+CLAHE+resize+scoring chunks; with
+    `fused` the whole batch is ONE dispatch + ONE fetch (score_frames_fused);
+    otherwise the host-chunked score_frames path."""
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
-    from cell_image_analysis_tpu.pipeline.scoring import score_frames
+    from cell_image_analysis_tpu.pipeline.scoring import score_frames, score_frames_fused
+
+    fn = score_frames_fused if fused else score_frames
 
     def run(segs, greens):
-        scores, stats = score_frames(
+        scores, stats = fn(
             model, params, segs, greens, threshold_segment,
             chunk=256, label_capacity=4096, cell_capacity=128,
         )
@@ -92,13 +95,13 @@ def _batch_pipeline(model, params, frame_batch: int = 8):
 
 
 def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
-                  frame_batch: int = 8) -> dict:
+                  frame_batch: int = 8, fused: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
     model, params, _ = _fit_params()
     frames = _make_frames(n_frames, size, n_cells)
-    run = _batch_pipeline(model, params, frame_batch)
+    run = _batch_pipeline(model, params, frame_batch, fused=fused)
 
     stack = np.stack(frames)
     segs = jnp.asarray(stack[..., 2].astype(np.float32))

@@ -71,6 +71,26 @@ def test_clahe_mxu_impl_matches_scatter(rng):
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_clahe_pallas_impl_matches_scatter(rng):
+    # the fused Pallas core (interpret mode on CPU) must match bit-for-bit
+    from cell_image_analysis_tpu.ops.clahe import clahe_cells as cc
+    import jax.numpy as jnp2
+
+    sizes = [(64, 64), (97, 41)]
+    cap = 128
+    crops = np.zeros((len(sizes), cap, cap), np.float32)
+    hs, ws = [], []
+    for i, (h, w) in enumerate(sizes):
+        crops[i, :h, :w] = (rng.uniform(size=(h, w)) * 3000).astype(np.float32)
+        hs.append(h)
+        ws.append(w)
+    a = np.asarray(cc(jnp2.asarray(crops), jnp2.asarray(np.array(hs, np.int32)),
+                      jnp2.asarray(np.array(ws, np.int32)), impl="scatter"))
+    b = np.asarray(cc(jnp2.asarray(crops), jnp2.asarray(np.array(hs, np.int32)),
+                      jnp2.asarray(np.array(ws, np.int32)), impl="pallas"))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 def test_clahe_flat_image_is_zero(rng):
     im = np.full((40, 40), 7.0, np.float32)
     out = _run_batch([im])[0]

@@ -5,7 +5,11 @@ import jax.numpy as jnp
 
 from cell_image_analysis_tpu.models.segmentation import threshold_segment
 from cell_image_analysis_tpu.ops.extract import extract_cells_chunked
-from cell_image_analysis_tpu.pipeline.scoring import compute_anomaly_scores, score_frames
+from cell_image_analysis_tpu.pipeline.scoring import (
+    compute_anomaly_scores,
+    score_frames,
+    score_frames_fused,
+)
 from cell_image_analysis_tpu.utils.synthetic import make_frame
 from tests.test_scoring import _fitted_params
 
@@ -35,3 +39,33 @@ def test_score_frames_matches_stagewise(rng):
     np.testing.assert_array_equal(scores["ensemble_predictions"], ref["ensemble_predictions"])
     np.testing.assert_allclose(scores["moderate_scores"], ref["moderate_scores"], atol=1e-4)
     assert scores["conservative_anomaly_rate"] == ref["conservative_anomaly_rate"]
+
+
+def test_score_frames_fused_matches_chunked(rng):
+    # the single-dispatch fori_loop graph must reproduce the host-chunked
+    # path exactly (same kernels, same pool order), incl. bucket tails
+    model, params, _, _ = _fitted_params(rng, n_train=120)
+    frames = [make_frame(rng, size=256, n_cells=8) for _ in range(3)]
+    segs = jnp.asarray(np.stack([f[..., 2] for f in frames]).astype(np.float32))
+    greens = jnp.asarray(np.stack([f[..., 1] for f in frames]).astype(np.float32))
+
+    kw = dict(chunk=8, cell_capacity=32)
+    ref, ref_stats = score_frames(model, params, segs, greens, threshold_segment, **kw)
+    got, got_stats = score_frames_fused(model, params, segs, greens, threshold_segment, **kw)
+
+    np.testing.assert_array_equal(got_stats["label_ids"], ref_stats["label_ids"])
+    np.testing.assert_array_equal(got_stats["frame_index"], ref_stats["frame_index"])
+    for k in ref:
+        if k.endswith("_rate"):
+            assert got[k] == ref[k], k
+        else:
+            np.testing.assert_allclose(got[k], ref[k], atol=1e-5, err_msg=k)
+
+
+def test_score_frames_fused_empty(rng):
+    model, params, _, _ = _fitted_params(rng, n_train=120)
+    segs = jnp.zeros((2, 256, 256), jnp.float32)
+    greens = jnp.zeros((2, 256, 256), jnp.float32)
+    scores, stats = score_frames_fused(model, params, segs, greens,
+                                       threshold_segment, chunk=8, cell_capacity=32)
+    assert scores == {} and len(stats["area"]) == 0
