@@ -353,6 +353,20 @@ def extract_cells_chunked(
     return cells, stats
 
 
+@partial(jax.jit, static_argnames=("segment_fn", "ckw"))
+def _candidates_batch(segs, greens, segment_fn, ckw):
+    """Vmapped segmentation + stage A over a frame batch.  Module-level jit
+    (an inline `@jax.jit def stage_a` would be a new function object per
+    call, re-tracing the whole graph every batch)."""
+    kwargs = dict(ckw)
+
+    def one(seg, green):
+        labels = segment_fn(seg)
+        return extract_candidates(labels, green, **kwargs)
+
+    return jax.vmap(one)(segs, greens)
+
+
 def extract_cells_frames(
     segs: jax.Array,
     greens: jax.Array,
@@ -368,18 +382,13 @@ def extract_cells_frames(
     across frames, then bucketed stage B over the whole pool — amortizing
     both dispatch latency and chunk padding across frames.
 
-    `segment_fn`: (H, W) seg channel -> (H, W) int32 labels (jit-composable).
+    `segment_fn`: (H, W) seg channel -> (H, W) int32 labels (jit-composable,
+    identity-stable — the stage-A jit caches on it).
     Returns (cells (n, out, out), stats dict incl. `frame_index`)."""
     import numpy as np
 
-    @partial(jax.jit, static_argnames=())
-    def stage_a(segs, greens):
-        def one(seg, green):
-            labels = segment_fn(seg)
-            return extract_candidates(labels, green, **candidate_kwargs)
-        return jax.vmap(one)(segs, greens)
-
-    cand = stage_a(segs, greens)
+    cand = _candidates_batch(segs, greens, segment_fn,
+                             tuple(sorted(candidate_kwargs.items())))
     B, cap = cand.crops.shape[0], cand.crops.shape[1]
     crops = cand.crops.reshape(B * cap, *cand.crops.shape[2:])
     heights = cand.heights.reshape(-1)

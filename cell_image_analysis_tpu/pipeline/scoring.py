@@ -138,10 +138,7 @@ def score_frames(
 
     Returns the compute_anomaly_scores dict schema plus per-cell stats and
     frame_index."""
-    from cell_image_analysis_tpu.ops.extract import (
-        extract_candidates,
-        preprocess_gather_score,
-    )
+    from cell_image_analysis_tpu.ops.extract import preprocess_gather_score
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -150,21 +147,8 @@ def score_frames(
         greens = jax.device_put(greens, NamedSharding(mesh, P("data", None, None)))
         params = jax.device_put(params, NamedSharding(mesh, P()))
 
-    @jax.jit
-    def stage_a(segs, greens):
-        def one(seg, green):
-            labels = segment_fn(seg)
-            cand = extract_candidates(labels, green, **candidate_kwargs)
-            packed = jnp.stack([
-                cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
-                cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
-                cand.area.astype(jnp.float32), cand.eccentricity,
-                cand.mean_intensity, cand.std_intensity,
-            ])
-            return cand.crops, cand.heights, cand.widths, packed
-        return jax.vmap(one)(segs, greens)
-
-    crops, heights, widths, packed_stats = stage_a(segs, greens)
+    ckw = tuple(sorted(candidate_kwargs.items()))
+    crops, heights, widths, packed_stats = _stage_a_graph(segs, greens, segment_fn, ckw)
     B, cap = crops.shape[0], crops.shape[1]
     crops = crops.reshape(B * cap, *crops.shape[2:])
     heights = heights.reshape(-1)
@@ -223,6 +207,119 @@ def score_frames(
     return out, stats
 
 
+_FUSED_FFT_DIM = 16 + 8 + 3
+_FUSED_D = 9 + _FUSED_FFT_DIM
+
+
+@partial(jax.jit, static_argnames=("segment_fn", "ckw"))
+def _stage_a_graph(segs, greens, segment_fn, ckw):
+    """Vmapped segmentation + candidate extraction for a frame batch.
+
+    Module-level jit: defining this inline per score_frames call would
+    re-trace (and re-fetch the remote compile of) the whole segmentation
+    graph every batch.  Caching keys on `segment_fn` identity — callers must
+    pass a stable callable."""
+    from cell_image_analysis_tpu.ops.extract import extract_candidates
+
+    candidate_kwargs = dict(ckw)
+
+    def one(seg, green):
+        labels = segment_fn(seg)
+        cand = extract_candidates(labels, green, **candidate_kwargs)
+        packed = jnp.stack([
+            cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
+            cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
+            cand.area.astype(jnp.float32), cand.eccentricity,
+            cand.mean_intensity, cand.std_intensity,
+        ])
+        return cand.crops, cand.heights, cand.widths, packed
+
+    return jax.vmap(one)(segs, greens)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "segment_fn", "chunk", "small_cap", "min_votes",
+                     "out_size", "clip_limit", "ckw"),
+)
+def _fused_screen_graph(model, params, segs, greens, segment_fn, chunk,
+                        small_cap, min_votes, out_size, clip_limit, ckw):
+    """The whole-batch screening program (see score_frames_fused).  MUST stay
+    a module-level jit: an inner `@jax.jit def graph` would be a fresh
+    function object per call, re-tracing and re-fetching the multi-second
+    remote compile every batch (measured 7.0s vs 2.9s per batch)."""
+    from cell_image_analysis_tpu.ops.extract import extract_candidates
+    from cell_image_analysis_tpu.ops.clahe import clahe_cells
+    from cell_image_analysis_tpu.ops.resize import resize_cells
+
+    candidate_kwargs = dict(ckw)
+
+    def one(seg, green):
+        labels = segment_fn(seg)
+        cand = extract_candidates(labels, green, **candidate_kwargs)
+        packed = jnp.stack([
+            cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
+            cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
+            cand.area.astype(jnp.float32), cand.eccentricity,
+            cand.mean_intensity, cand.std_intensity,
+        ])
+        return cand.crops, cand.heights, cand.widths, packed
+
+    crops, heights, widths, packed_stats = jax.vmap(one)(segs, greens)
+    B = crops.shape[0]
+    N = B * crops.shape[1]
+    full_cap = crops.shape[-1]
+    crops = crops.reshape(N, full_cap, full_cap)
+    heights = heights.reshape(-1)
+    widths = widths.reshape(-1)
+    valid = packed_stats[:, 0].reshape(-1) > 0.5
+
+    is_small = (heights <= small_cap) & (widths <= small_cap)
+    pad_len = (-(-N // chunk)) * chunk
+
+    def bucket(mask):
+        idx = jnp.nonzero(mask, size=N, fill_value=N)[0]
+        idx = jnp.pad(idx, (0, pad_len - N), constant_values=N)
+        return idx, jnp.sum(mask.astype(jnp.int32))
+
+    small_idx, n_small = bucket(valid & is_small)
+    large_idx, n_large = bucket(valid & ~is_small)
+
+    out = jnp.zeros((N + 1, _FUSED_D), jnp.float32)  # row N = scrap for tails
+
+    def run_bucket(out, idx_arr, n, cap_b):
+        def body(i, out):
+            ids = jax.lax.dynamic_slice(idx_arr, (i * chunk,), (chunk,))
+            ids_c = jnp.minimum(ids, N - 1)
+            c = crops[ids_c][:, :cap_b, :cap_b]
+            h = heights[ids_c]
+            w = widths[ids_c]
+            eq = clahe_cells(c, h, w, clip_limit=clip_limit)
+            cells = resize_cells(eq, h, w, out_size=out_size)
+            s = score_cells(model, params, cells[..., None], min_votes=min_votes)
+            row = jnp.concatenate(
+                [
+                    s.reconstruction_mse[:, None], s.reconstruction_mae[:, None],
+                    s.conservative_predictions[:, None].astype(jnp.float32),
+                    s.moderate_predictions[:, None].astype(jnp.float32),
+                    s.conservative_scores[:, None], s.moderate_scores[:, None],
+                    s.ensemble_predictions[:, None].astype(jnp.float32),
+                    s.fft_predictions[:, None].astype(jnp.float32),
+                    s.fft_scores[:, None],
+                    s.fft,
+                ],
+                axis=1,
+            )
+            return out.at[ids].set(row)
+
+        return jax.lax.fori_loop(0, (n + chunk - 1) // chunk, body, out)
+
+    out = run_bucket(out, small_idx, n_small, small_cap)
+    out = run_bucket(out, large_idx, n_large, full_cap)
+    # one flat buffer so the host needs a single fetch for everything
+    return jnp.concatenate([out.reshape(-1), packed_stats.reshape(-1)])
+
+
 def score_frames_fused(
     model: CAE,
     params: ScoringParams,
@@ -242,89 +339,27 @@ def score_frames_fused(
     the fused gather+CLAHE+resize+score chunks — is ONE jitted call, and the
     host does ONE consolidated fetch.
 
-    Rationale: on remote-attached chips each dispatch/fetch costs ~30 ms; the
-    chunked `score_frames` pays (2 + n_chunks) round trips per batch, which
-    measured as ~half the batch budget.  Here the chunk loop's dynamic bound
-    (ceil(n_bucket/chunk)) lives on device, so XLA runs only the needed
-    chunks while shapes stay static; tail slots scatter into a scrap row.
+    Rationale: on remote-attached chips each dispatch/fetch costs ~30 ms and
+    the chunked `score_frames` pays (2 + n_chunks) round trips per batch.
+    Here the chunk loop's dynamic bound (ceil(n_bucket/chunk)) lives on
+    device, so XLA runs only the needed chunks while shapes stay static;
+    tail slots scatter into a scrap row.  Loop mechanics measured free
+    (scripts/probe_fused_variants.py: 34 ms floor) and the fused loop beats
+    the separate chunk dispatches (362 vs 437 ms on the bench workload).
+
+    NOTE: jit caching keys on `segment_fn` identity — pass a stable callable
+    (module function / functools.partial held by the caller), NOT a fresh
+    lambda per call, or every batch re-traces.
 
     Numerically identical to `score_frames` (same kernels, same order)."""
-    from cell_image_analysis_tpu.ops.extract import extract_candidates
-    from cell_image_analysis_tpu.ops.clahe import clahe_cells
-    from cell_image_analysis_tpu.ops.resize import resize_cells
-
-    fft_dim = 16 + 8 + 3
-    D = 9 + fft_dim
+    D = _FUSED_D
     ccap = candidate_kwargs.get("cell_capacity", 512)
+    ckw = tuple(sorted(candidate_kwargs.items()))
 
-    @jax.jit
-    def graph(segs, greens):
-        def one(seg, green):
-            labels = segment_fn(seg)
-            cand = extract_candidates(labels, green, **candidate_kwargs)
-            packed = jnp.stack([
-                cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
-                cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
-                cand.area.astype(jnp.float32), cand.eccentricity,
-                cand.mean_intensity, cand.std_intensity,
-            ])
-            return cand.crops, cand.heights, cand.widths, packed
-
-        crops, heights, widths, packed_stats = jax.vmap(one)(segs, greens)
-        B = crops.shape[0]
-        N = B * crops.shape[1]
-        full_cap = crops.shape[-1]
-        crops = crops.reshape(N, full_cap, full_cap)
-        heights = heights.reshape(-1)
-        widths = widths.reshape(-1)
-        valid = packed_stats[:, 0].reshape(-1) > 0.5
-
-        is_small = (heights <= small_cap) & (widths <= small_cap)
-        pad_len = (-(-N // chunk)) * chunk
-
-        def bucket(mask):
-            idx = jnp.nonzero(mask, size=N, fill_value=N)[0]
-            idx = jnp.pad(idx, (0, pad_len - N), constant_values=N)
-            return idx, jnp.sum(mask.astype(jnp.int32))
-
-        small_idx, n_small = bucket(valid & is_small)
-        large_idx, n_large = bucket(valid & ~is_small)
-
-        out = jnp.zeros((N + 1, D), jnp.float32)  # row N = scrap for tail slots
-
-        def run_bucket(out, idx_arr, n, cap_b):
-            def body(i, out):
-                ids = jax.lax.dynamic_slice(idx_arr, (i * chunk,), (chunk,))
-                ids_c = jnp.minimum(ids, N - 1)
-                c = crops[ids_c][:, :cap_b, :cap_b]
-                h = heights[ids_c]
-                w = widths[ids_c]
-                eq = clahe_cells(c, h, w, clip_limit=clip_limit)
-                cells = resize_cells(eq, h, w, out_size=out_size)
-                s = score_cells(model, params, cells[..., None], min_votes=min_votes)
-                row = jnp.concatenate(
-                    [
-                        s.reconstruction_mse[:, None], s.reconstruction_mae[:, None],
-                        s.conservative_predictions[:, None].astype(jnp.float32),
-                        s.moderate_predictions[:, None].astype(jnp.float32),
-                        s.conservative_scores[:, None], s.moderate_scores[:, None],
-                        s.ensemble_predictions[:, None].astype(jnp.float32),
-                        s.fft_predictions[:, None].astype(jnp.float32),
-                        s.fft_scores[:, None],
-                        s.fft,
-                    ],
-                    axis=1,
-                )
-                return out.at[ids].set(row)
-
-            return jax.lax.fori_loop(0, (n + chunk - 1) // chunk, body, out)
-
-        out = run_bucket(out, small_idx, n_small, small_cap)
-        out = run_bucket(out, large_idx, n_large, full_cap)
-        # one flat buffer so the host needs a single fetch for everything
-        return jnp.concatenate([out.reshape(-1), packed_stats.reshape(-1)])
-
-    flat = np.asarray(graph(segs, greens))  # ONE dispatch, ONE fetch
+    flat = np.asarray(_fused_screen_graph(
+        model, params, segs, greens, segment_fn, chunk, small_cap,
+        min_votes, out_size, clip_limit, ckw,
+    ))  # ONE dispatch, ONE fetch
     B = int(segs.shape[0])
     N = B * ccap
     rows = flat[: (N + 1) * D].reshape(N + 1, D)

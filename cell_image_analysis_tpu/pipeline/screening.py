@@ -40,6 +40,9 @@ class ProductionMutantScreening:
         self.mesh = mesh
         self.timer = StageTimer()
         self.meter = ThroughputMeter()
+        # identity-stable segmentation callable: the scoring graphs jit-cache
+        # on segment_fn identity, so a fresh lambda per batch would re-trace
+        self._segment = lambda s: segment_frame(s, self.config.seg, self.unet_variables)
         self.load_trained_models()
 
     def load_trained_models(self):
@@ -139,7 +142,7 @@ class ProductionMutantScreening:
             with self.timer.stage("score_frames"):
                 scores, stats = score_frames(
                     self.model, self.scoring_params, segs, greens,
-                    lambda s: segment_frame(s, cfg.seg, self.unet_variables),
+                    self._segment,
                     mesh=self.mesh,
                     label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
                     cell_capacity=cfg.extract.cell_capacity,

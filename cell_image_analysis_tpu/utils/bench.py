@@ -74,7 +74,7 @@ def _fit_params(seed: int = 0):
     return model, params, host
 
 
-def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = False):
+def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
     """The production path: device-resident frame screening — vmapped
     segmentation+candidates, fused gather+CLAHE+resize+scoring chunks; with
     `fused` the whole batch is ONE dispatch + ONE fetch (score_frames_fused);
@@ -95,7 +95,7 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = False):
 
 
 def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
-                  frame_batch: int = 8, fused: bool = False) -> dict:
+                  frame_batch: int = 8, fused: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 

@@ -60,13 +60,15 @@ print(f"pool={len(pool)} small={len(small)} large={len(large)}")
 
 
 def timeit(name, fn, reps=3):
+    t0 = time.perf_counter()
     fn()  # warm
+    print(f"{name}: warm+compile {time.perf_counter()-t0:.1f} s", flush=True)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
-    print(f"{name}: {best*1e3:8.1f} ms")
+    print(f"{name}: {best*1e3:8.1f} ms", flush=True)
 
 
 # ---- A: chunked dispatches -------------------------------------------------
@@ -165,7 +167,12 @@ def variant_d(small_idx, n_small, large_idx, n_large):
     return out
 
 
-timeit("A chunked dispatches   ", variant_a)
-timeit("B loop + scatter       ", lambda: float(variant_b(small_idx, n_small, large_idx, n_large).sum()))
-timeit("C loop + DUS slab      ", lambda: float(variant_c(small_idx, n_small, large_idx, n_large).sum()))
-timeit("D loop mechanics only  ", lambda: float(variant_d(small_idx, n_small, large_idx, n_large).sum()))
+which = set(sys.argv[1]) if len(sys.argv) > 1 else set("abcd")
+if "a" in which:
+    timeit("A chunked dispatches   ", variant_a)
+if "b" in which:
+    timeit("B loop + scatter       ", lambda: float(variant_b(small_idx, n_small, large_idx, n_large).sum()))
+if "c" in which:
+    timeit("C loop + DUS slab      ", lambda: float(variant_c(small_idx, n_small, large_idx, n_large).sum()))
+if "d" in which:
+    timeit("D loop mechanics only  ", lambda: float(variant_d(small_idx, n_small, large_idx, n_large).sum()))
