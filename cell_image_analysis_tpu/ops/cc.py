@@ -42,9 +42,50 @@ def _neighbor_min(lbl: jax.Array, connectivity: int) -> jax.Array:
     return best
 
 
-@partial(jax.jit, static_argnames=("connectivity", "sweeps_per_check"))
+def _shift(x: jax.Array, off: int, axis: int, fill) -> jax.Array:
+    """x shifted by `off` along `axis` (value of the element `off` away),
+    edges filled — pad + static slice, fusable like _neighbor_min."""
+    h, w = x.shape
+    if axis == 0:
+        padded = jnp.pad(x, ((abs(off), abs(off)), (0, 0)), constant_values=fill)
+        return padded[abs(off) + off : abs(off) + off + h, :]
+    padded = jnp.pad(x, ((0, 0), (abs(off), abs(off))), constant_values=fill)
+    return padded[:, abs(off) + off : abs(off) + off + w]
+
+
+def _run_ids(mask: jax.Array, axis: int) -> jax.Array:
+    """Per-pixel id of its contiguous foreground run along `axis` (the index
+    of the run's first element + 1; background pixels get unique negatives so
+    they never match).  One cummax — computed once per CC call, outside the
+    propagation loop."""
+    n = mask.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int32, mask.shape, axis)
+    # run start = latest barrier position + 1 before/at each pixel
+    start = jax.lax.cummax(jnp.where(mask, 0, pos + 1), axis=axis)
+    flat_id = start
+    return jnp.where(mask, flat_id, -(pos + 2))  # bg: unique per lane, < 0
+
+
+def _run_min(val: jax.Array, rid: jax.Array, axis: int) -> jax.Array:
+    """Minimum over each foreground run along `axis` via strided doubling:
+    a stride-s exchange is valid iff both pixels share a run id (everything
+    between is then foreground too), so log2(n) cheap fused shift+min passes
+    replace a segmented scan."""
+    n = val.shape[axis]
+    s = 1
+    while s < n:
+        for off in (s, -s):
+            sv = _shift(val, off, axis, _INF)
+            sr = _shift(rid, off, axis, -1)
+            val = jnp.where(sr == rid, jnp.minimum(val, sv), val)
+        s *= 2
+    return val
+
+
+@partial(jax.jit, static_argnames=("connectivity", "sweeps_per_check", "impl"))
 def label_components(
-    mask: jax.Array, connectivity: int = 1, sweeps_per_check: int = 4
+    mask: jax.Array, connectivity: int = 1, sweeps_per_check: int = 4,
+    impl: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Label connected components of a boolean (H, W) mask.
 
@@ -52,11 +93,27 @@ def label_components(
     numbered 1..count in raster order of their topmost-leftmost pixel
     (matching scipy.ndimage.label's numbering).
 
-    `sweeps_per_check` propagation sweeps run between convergence reductions
-    — the full-array `any()` check costs about as much as a sweep, so
-    batching sweeps cuts loop overhead at the price of at most
-    sweeps_per_check-1 wasted sweeps after convergence.
+    impl="scan": each iteration takes the run minimum along every row then
+    every column — a label crosses an entire straight run per pass, so
+    convergence takes O(#bends) iterations instead of O(geodesic diameter)
+    sweeps.  Run minima use strided doubling guarded by precomputed run ids
+    (a stride-s exchange is valid iff both pixels share a run) — log2(n)
+    cheap fused shift+min passes; a lax.associative_scan formulation of the
+    same idea measured 2x SLOWER than sweeps (313 vs 169 ms on 8x1024^2,
+    its recursive halving materializes poorly), while this one wins
+    slightly (159 vs 169 ms) and by much more on serpentine structures.
+    For connectivity=2 a diagonal neighbor-min sweep follows the scans.
+
+    impl="sweeps": plain min-propagation; `sweeps_per_check` sweeps run
+    between convergence reductions — the full-array `any()` check costs
+    about as much as a sweep, so batching sweeps cuts loop overhead at the
+    price of at most sweeps_per_check-1 wasted sweeps after convergence.
+
+    impl="auto": scan on TPU, sweeps elsewhere.  Both reach the identical
+    fixpoint (component-min labels), so the choice never changes results.
     """
+    if impl == "auto":
+        impl = "scan" if jax.default_backend() == "tpu" else "sweeps"
     h, w = mask.shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + jax.lax.broadcasted_iota(
         jnp.int32, (h, w), 1
@@ -67,7 +124,7 @@ def label_components(
         _, changed = state
         return changed
 
-    def body(state):
+    def body_sweeps(state):
         lbl, _ = state
         new = lbl
         for _ in range(sweeps_per_check):
@@ -76,7 +133,26 @@ def label_components(
             new = jnp.where(new == _INF, 0, new)
         return new, jnp.any(new != lbl)
 
-    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.bool_(True)))
+    rid_row = _run_ids(mask, 1) if impl == "scan" else None
+    rid_col = _run_ids(mask, 0) if impl == "scan" else None
+
+    def body_scan(state):
+        lbl, _ = state
+        val = jnp.where(mask, lbl, _INF)
+        val = _run_min(val, rid_row, 1)
+        val = _run_min(val, rid_col, 0)
+        new = jnp.where(mask, val, 0)
+        if connectivity == 2:
+            nm = _neighbor_min(new, 2)
+            new = jnp.where(mask, jnp.minimum(jnp.where(new > 0, new, _INF), nm), 0)
+            new = jnp.where(new == _INF, 0, new)
+        return new, jnp.any(new != lbl)
+
+    body = body_scan if impl == "scan" else body_sweeps
+    # initial flag derived from lbl0 (always True) so its type matches the
+    # body output under shard_map's varying-axes typing (a literal True is
+    # replicated; jnp.any(...) inside the body is device-varying)
+    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.any(lbl0 >= 0)))
 
     # compact to 1..K in raster order of component minima
     flat = lbl.reshape(-1)

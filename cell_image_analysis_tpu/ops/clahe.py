@@ -71,7 +71,10 @@ def _clip_histogram(hist: jax.Array, clim: jax.Array, nbins: int) -> jax.Array:
         n_added = jnp.sum(add.astype(jnp.int32))
         return h, ne - n_added, n_added
 
-    hist, _, _ = jax.lax.while_loop(cond, body, (hist, n_excess, jnp.int32(1)))
+    # initial `added` derived from data (always >= 1 here) so its type is
+    # device-varying under shard_map, matching the body output
+    added0 = jnp.maximum(jnp.int32(1), n_excess * 0)
+    hist, _, _ = jax.lax.while_loop(cond, body, (hist, n_excess, added0))
     return hist
 
 

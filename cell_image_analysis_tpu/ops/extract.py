@@ -54,7 +54,7 @@ class ExtractedCells(NamedTuple):
     jax.jit,
     static_argnames=(
         "label_capacity", "cell_capacity", "crop_capacity", "out_size",
-        "border_margin", "min_area", "max_area",
+        "border_margin", "min_area", "max_area", "fg_fraction",
     ),
 )
 def extract_cells(
@@ -70,12 +70,13 @@ def extract_cells(
     max_eccentricity: float = 0.95,
     min_mean_intensity: float = 0.5,
     min_std_intensity: float = 0.1,
+    fg_fraction: float = 0.25,
 ) -> ExtractedCells:
     """labels: (H, W) int32 instance map; green: (H, W) raw analysis channel."""
     h, w = labels.shape
     green = green.astype(jnp.float32)
 
-    props = regionprops(labels, capacity=label_capacity)
+    props = regionprops(labels, capacity=label_capacity, fg_fraction=fg_fraction)
     geo = qc_mask(
         props, jnp.int32(h), jnp.int32(w),
         border_margin=border_margin, min_area=min_area, max_area=max_area,
@@ -141,7 +142,7 @@ def extract_cells(
     jax.jit,
     static_argnames=(
         "label_capacity", "cell_capacity", "crop_capacity",
-        "border_margin", "min_area", "max_area",
+        "border_margin", "min_area", "max_area", "fg_fraction",
     ),
 )
 def extract_candidates(
@@ -156,6 +157,7 @@ def extract_candidates(
     max_eccentricity: float = 0.95,
     min_mean_intensity: float = 0.5,
     min_std_intensity: float = 0.1,
+    fg_fraction: float = 0.25,
 ) -> Candidates:
     """Stage A of the chunked extraction path: everything up to (but not
     including) CLAHE/resize, with the surviving cells repacked to the front
@@ -168,7 +170,7 @@ def extract_candidates(
     h, w = labels.shape
     green = green.astype(jnp.float32)
 
-    props = regionprops(labels, capacity=label_capacity)
+    props = regionprops(labels, capacity=label_capacity, fg_fraction=fg_fraction)
     geo = qc_mask(
         props, jnp.int32(h), jnp.int32(w),
         border_margin=border_margin, min_area=min_area, max_area=max_area,

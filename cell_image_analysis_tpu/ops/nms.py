@@ -219,5 +219,6 @@ def star_nms(
         new = valid & ~suppressed
         return new, jnp.any(new != keep)
 
-    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.bool_(True)))
+    # flag derived from data so it is device-varying under shard_map
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.any(valid | True)))
     return keep

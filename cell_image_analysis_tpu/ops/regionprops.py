@@ -152,52 +152,57 @@ def regionprops(labels: jax.Array, capacity: int, fg_fraction: float = 0.25,
         # the blueprint for a VMEM-resident Pallas kernel.
         impl = "scatter"
 
-    # Fused reductions: the nine original per-frame passes are packed into
-    # one stacked sum, one bbox pass, and one stacked central-moment sum.
+    # Fused reductions, TWO scatter passes total (scatter throughput is the
+    # regionprops bottleneck on TPU — see BENCH.md):
+    #   pass 1: bbox via segment_max;
+    #   pass 2: one 6-wide segment_sum of bbox-anchored deltas
+    #           [1, dr, dc, dr^2, dc^2, dr*dc] with dr = r - min_r[seg].
+    # Anchoring at the exact (int) bbox min keeps |d| <= crop size, so the
+    # delta products are integers < 2^24 per element and the sums stay
+    # f32-accurate; centroid = min + sum(d)/A and the central moments follow
+    # from the parallel-axis identity mu = E[d^2] - E[d]^2 without the
+    # full-frame-coordinate cancellation that motivated the old centroid
+    # second pass (which cost an extra scatter AND a centroid gather).
     rf = rr.astype(jnp.float32)
     cf = cc.astype(jnp.float32)
-    if impl == "mxu":
-        sum1 = _segment_sums_mxu(seg, jnp.stack([jnp.ones_like(rf), rf, cf], axis=1), n_seg)[:capacity]
-    else:
-        sum1 = jax.ops.segment_sum(
-            jnp.stack([jnp.ones_like(rf), rf, cf], axis=1), seg, num_segments=n_seg
-        )[:capacity]
-    area = sum1[:, 0].astype(jnp.int32)
-    valid = area > 0
-    areaf = jnp.maximum(sum1[:, 0], 1.0)
 
     if impl == "mxu":
-        mnr, mnc, mxr, mxc = _bbox_mxu(seg, rr, cc, capacity, h, w)
-        min_r = jnp.where(valid, mnr, 0)
-        min_c = jnp.where(valid, mnc, 0)
-        max_r = jnp.where(valid, mxr + 1, 0)
-        max_c = jnp.where(valid, mxc + 1, 0)
+        mnr_raw, mnc_raw, mxr, mxc = _bbox_mxu(seg, rr, cc, capacity, h, w)
+        mxr = mxr
+        mxc = mxc
     else:
         mx = jax.ops.segment_max(
             jnp.stack([rr, cc, -rr, -cc], axis=1), seg, num_segments=n_seg
         )[:capacity]
-        max_r = jnp.where(valid, mx[:, 0] + 1, 0)
-        max_c = jnp.where(valid, mx[:, 1] + 1, 0)
-        min_r = jnp.where(valid, -mx[:, 2], 0)
-        min_c = jnp.where(valid, -mx[:, 3], 0)
+        mxr, mxc = mx[:, 0], mx[:, 1]
+        mnr_raw, mnc_raw = -mx[:, 2], -mx[:, 3]
 
-    cy, cx = sum1[:, 1] / areaf, sum1[:, 2] / areaf
-    # central second moments in a second pass: gathering each pixel's segment
-    # centroid keeps the deltas small, avoiding the float32 cancellation of
-    # the parallel-axis form (sum r^2 overflows the 24-bit mantissa on large
-    # frames)
-    cy_full = jnp.concatenate([cy, jnp.zeros((1,), cy.dtype)])
-    cx_full = jnp.concatenate([cx, jnp.zeros((1,), cx.dtype)])
-    dr = rf - cy_full[jnp.minimum(seg, capacity)]
-    dc = cf - cx_full[jnp.minimum(seg, capacity)]
-    moment_data = jnp.stack([dr * dr, dc * dc, dr * dc], axis=1)
+    anchor_r = jnp.concatenate([jnp.clip(mnr_raw, 0, h - 1), jnp.zeros((1,), jnp.int32)])
+    anchor_c = jnp.concatenate([jnp.clip(mnc_raw, 0, w - 1), jnp.zeros((1,), jnp.int32)])
+    dr = rf - anchor_r[seg].astype(jnp.float32)
+    dc = cf - anchor_c[seg].astype(jnp.float32)
+    data = jnp.stack([jnp.ones_like(dr), dr, dc, dr * dr, dc * dc, dr * dc], axis=1)
     if impl == "mxu":
-        sum2 = _segment_sums_mxu(seg, moment_data, n_seg)[:capacity]
+        sums = _segment_sums_mxu(seg, data, n_seg)[:capacity]
     else:
-        sum2 = jax.ops.segment_sum(moment_data, seg, num_segments=n_seg)[:capacity]
-    mu20 = sum2[:, 0] / areaf
-    mu02 = sum2[:, 1] / areaf
-    mu11 = sum2[:, 2] / areaf
+        sums = jax.ops.segment_sum(data, seg, num_segments=n_seg)[:capacity]
+
+    area = sums[:, 0].astype(jnp.int32)
+    valid = area > 0
+    areaf = jnp.maximum(sums[:, 0], 1.0)
+
+    min_r = jnp.where(valid, mnr_raw, 0)
+    min_c = jnp.where(valid, mnc_raw, 0)
+    max_r = jnp.where(valid, mxr + 1, 0)
+    max_c = jnp.where(valid, mxc + 1, 0)
+
+    er = sums[:, 1] / areaf
+    ec = sums[:, 2] / areaf
+    cy = jnp.clip(mnr_raw, 0, h - 1).astype(jnp.float32) + er
+    cx = jnp.clip(mnc_raw, 0, w - 1).astype(jnp.float32) + ec
+    mu20 = sums[:, 3] / areaf - er * er
+    mu02 = sums[:, 4] / areaf - ec * ec
+    mu11 = sums[:, 5] / areaf - er * ec
 
     t = (mu20 + mu02) / 2.0
     d = jnp.sqrt(((mu20 - mu02) / 2.0) ** 2 + mu11 ** 2)

@@ -237,17 +237,17 @@ def _stage_a_graph(segs, greens, segment_fn, ckw):
     return jax.vmap(one)(segs, greens)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("model", "segment_fn", "chunk", "small_cap", "min_votes",
-                     "out_size", "clip_limit", "ckw"),
-)
-def _fused_screen_graph(model, params, segs, greens, segment_fn, chunk,
-                        small_cap, min_votes, out_size, clip_limit, ckw):
-    """The whole-batch screening program (see score_frames_fused).  MUST stay
-    a module-level jit: an inner `@jax.jit def graph` would be a fresh
-    function object per call, re-tracing and re-fetching the multi-second
-    remote compile every batch (measured 7.0s vs 2.9s per batch)."""
+def _fused_screen_local(model, params, segs, greens, segment_fn, chunk,
+                        caps, min_votes, out_size, clip_limit, ckw,
+                        vary_axis=None):
+    """The whole-batch screening program body (see score_frames_fused) —
+    pure traced function; jitted once at module level (single device) or
+    wrapped per-shard in shard_map (mesh).  The inner control flow (bucket
+    compaction, dynamic-bound chunk loops) only touches the local frame
+    shard, so the mesh path needs zero cross-chip communication.
+    `vary_axis`: under shard_map, the mesh axis name — loop-carry literals
+    (the zeros result buffer) must be marked device-varying with pvary to
+    type-match the body outputs."""
     from cell_image_analysis_tpu.ops.extract import extract_candidates
     from cell_image_analysis_tpu.ops.clahe import clahe_cells
     from cell_image_analysis_tpu.ops.resize import resize_cells
@@ -274,7 +274,10 @@ def _fused_screen_graph(model, params, segs, greens, segment_fn, chunk,
     widths = widths.reshape(-1)
     valid = packed_stats[:, 0].reshape(-1) > 0.5
 
-    is_small = (heights <= small_cap) & (widths <= small_cap)
+    # size buckets: CLAHE/resize cost scales with the padded cap^2, so each
+    # cell runs at the tightest capacity that fits it (numerics-neutral —
+    # the kernels mask by actual h/w)
+    all_caps = tuple(c for c in sorted(caps) if c < full_cap) + (full_cap,)
     pad_len = (-(-N // chunk)) * chunk
 
     def bucket(mask):
@@ -282,10 +285,16 @@ def _fused_screen_graph(model, params, segs, greens, segment_fn, chunk,
         idx = jnp.pad(idx, (0, pad_len - N), constant_values=N)
         return idx, jnp.sum(mask.astype(jnp.int32))
 
-    small_idx, n_small = bucket(valid & is_small)
-    large_idx, n_large = bucket(valid & ~is_small)
+    buckets = []
+    fits_prev = jnp.zeros_like(valid)
+    for cap_b in all_caps:
+        fits = (heights <= cap_b) & (widths <= cap_b)
+        buckets.append(bucket(valid & fits & ~fits_prev) + (cap_b,))
+        fits_prev = fits
 
     out = jnp.zeros((N + 1, _FUSED_D), jnp.float32)  # row N = scrap for tails
+    if vary_axis is not None:
+        out = jax.lax.pvary(out, vary_axis)
 
     def run_bucket(out, idx_arr, n, cap_b):
         def body(i, out):
@@ -314,10 +323,56 @@ def _fused_screen_graph(model, params, segs, greens, segment_fn, chunk,
 
         return jax.lax.fori_loop(0, (n + chunk - 1) // chunk, body, out)
 
-    out = run_bucket(out, small_idx, n_small, small_cap)
-    out = run_bucket(out, large_idx, n_large, full_cap)
+    for idx_arr, n, cap_b in buckets:
+        out = run_bucket(out, idx_arr, n, cap_b)
     # one flat buffer so the host needs a single fetch for everything
     return jnp.concatenate([out.reshape(-1), packed_stats.reshape(-1)])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "segment_fn", "chunk", "caps", "min_votes",
+                     "out_size", "clip_limit", "ckw"),
+)
+def _fused_screen_graph(model, params, segs, greens, segment_fn, chunk,
+                        caps, min_votes, out_size, clip_limit, ckw):
+    """Single-device jit of the fused screening body.  MUST stay a
+    module-level jit: an inner `@jax.jit def graph` would be a fresh function
+    object per call, re-tracing and re-fetching the multi-second remote
+    compile every batch (measured 7.0s vs 2.9s per batch)."""
+    return _fused_screen_local(model, params, segs, greens, segment_fn, chunk,
+                               caps, min_votes, out_size, clip_limit, ckw)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "segment_fn", "chunk", "caps", "min_votes",
+                     "out_size", "clip_limit", "ckw", "mesh"),
+)
+def _fused_screen_graph_mesh(model, params, segs, greens, segment_fn, chunk,
+                             caps, min_votes, out_size, clip_limit, ckw, mesh):
+    """Mesh-sharded fused screening: frames shard over the 'data' axis
+    (SURVEY.md section 2.4 workhorse strategy), parameters replicate, and
+    every device runs the complete fused body — stage A, bucket compaction,
+    dynamic chunk loops — on its local shard with NO collectives (frames are
+    i.i.d.; rates are computed host-side from the gathered per-cell rows
+    exactly as in the single-device path, so sharded == unsharded
+    bit-for-bit).  Output: (n_devices, per_shard_flat)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(params, segs, greens):
+        flat = _fused_screen_local(model, params, segs, greens, segment_fn,
+                                   chunk, caps, min_votes, out_size,
+                                   clip_limit, ckw, vary_axis="data")
+        return flat[None]  # add shard axis for out_specs P('data')
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("data", None, None), P("data", None, None)),
+        out_specs=P("data", None),
+    )(params, segs, greens)
 
 
 def score_frames_fused(
@@ -327,10 +382,11 @@ def score_frames_fused(
     greens: jax.Array,
     segment_fn,
     chunk: int = 256,
-    small_cap: int = 96,
+    caps: tuple = (64, 96),
     min_votes: int = 2,
     out_size: int = 64,
     clip_limit: float = 0.02,
+    mesh=None,
     **candidate_kwargs,
 ) -> dict:
     """Single-dispatch variant of `score_frames`: the WHOLE per-batch
@@ -351,33 +407,59 @@ def score_frames_fused(
     (module function / functools.partial held by the caller), NOT a fresh
     lambda per call, or every batch re-traces.
 
+    With a `mesh`, the frame batch shards over the 'data' axis and each
+    device runs the complete fused body on its shard (shard_map, zero
+    collectives); results are bit-identical to the single-device path.
+    B must be a multiple of the mesh size.
+
     Numerically identical to `score_frames` (same kernels, same order)."""
     D = _FUSED_D
     ccap = candidate_kwargs.get("cell_capacity", 512)
     ckw = tuple(sorted(candidate_kwargs.items()))
-
-    flat = np.asarray(_fused_screen_graph(
-        model, params, segs, greens, segment_fn, chunk, small_cap,
-        min_votes, out_size, clip_limit, ckw,
-    ))  # ONE dispatch, ONE fetch
     B = int(segs.shape[0])
-    N = B * ccap
-    rows = flat[: (N + 1) * D].reshape(N + 1, D)
-    st = flat[(N + 1) * D :].reshape(B, 8, ccap)
 
-    valid = st[:, 0].reshape(-1) > 0.5
-    pool = np.flatnonzero(valid)
-    stats = dict(
-        label_ids=st[:, 3].reshape(-1).astype(np.int32)[pool],
-        area=st[:, 4].reshape(-1).astype(np.int32)[pool],
-        eccentricity=st[:, 5].reshape(-1)[pool],
-        mean_intensity=st[:, 6].reshape(-1)[pool],
-        std_intensity=st[:, 7].reshape(-1)[pool],
-        frame_index=pool // ccap,
-    )
-    if len(pool) == 0:
+    if mesh is None:
+        flat = np.asarray(_fused_screen_graph(
+            model, params, segs, greens, segment_fn, chunk, tuple(caps),
+            min_votes, out_size, clip_limit, ckw,
+        ))  # ONE dispatch, ONE fetch
+        shards = [(flat, 0)]
+        b_local = B
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = mesh.shape["data"]
+        segs = jax.device_put(segs, NamedSharding(mesh, P("data", None, None)))
+        greens = jax.device_put(greens, NamedSharding(mesh, P("data", None, None)))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        flat2 = np.asarray(_fused_screen_graph_mesh(
+            model, params, segs, greens, segment_fn, chunk, tuple(caps),
+            min_votes, out_size, clip_limit, ckw, mesh,
+        ))  # (nd, per_shard); still ONE dispatch + ONE fetch
+        b_local = B // nd
+        shards = [(flat2[s], s * b_local) for s in range(nd)]
+
+    n_local = b_local * ccap
+    rows_parts, stat_parts = [], []
+    for flat, frame0 in shards:
+        rows = flat[: (n_local + 1) * D].reshape(n_local + 1, D)
+        st = flat[(n_local + 1) * D :].reshape(b_local, 8, ccap)
+        valid = st[:, 0].reshape(-1) > 0.5
+        pool = np.flatnonzero(valid)
+        stat_parts.append(dict(
+            label_ids=st[:, 3].reshape(-1).astype(np.int32)[pool],
+            area=st[:, 4].reshape(-1).astype(np.int32)[pool],
+            eccentricity=st[:, 5].reshape(-1)[pool],
+            mean_intensity=st[:, 6].reshape(-1)[pool],
+            std_intensity=st[:, 7].reshape(-1)[pool],
+            frame_index=frame0 + pool // ccap,
+        ))
+        rows_parts.append(rows[pool])
+
+    stats = {k: np.concatenate([p[k] for p in stat_parts]) for k in stat_parts[0]}
+    packed = np.concatenate(rows_parts, axis=0)
+    if packed.shape[0] == 0:
         return {}, stats
-    packed = rows[pool]
 
     out = {
         "reconstruction_mse": packed[:, 0],

@@ -84,10 +84,18 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
 
     fn = score_frames_fused if fused else score_frames
 
+    # chunk/caps tuned on-chip (BENCH.md): small chunks + tight size buckets
+    # minimize padded-pixel work in the tail chunks of each bucket.
+    # fg_fraction=0.12 is safe by construction for the threshold backend:
+    # a 90th-percentile threshold bounds foreground at 10% and the opening
+    # only shrinks it.
+    kw = dict(chunk=32, caps=(64, 96)) if fused else dict(chunk=256)
+    kw["fg_fraction"] = 0.12
+
     def run(segs, greens):
         scores, stats = fn(
             model, params, segs, greens, threshold_segment,
-            chunk=256, label_capacity=4096, cell_capacity=128,
+            label_capacity=4096, cell_capacity=128, **kw,
         )
         return len(stats["area"]), scores
 

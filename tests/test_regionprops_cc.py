@@ -30,6 +30,24 @@ def test_label_components_matches_scipy(rng):
     np.testing.assert_array_equal(ours, ref)
 
 
+def test_label_components_impls_agree(rng):
+    # the scan (run-min) and sweep (min-propagation) bodies reach the same
+    # fixpoint, incl. serpentine components that need many passes
+    mask = _blob_image(rng)
+    mask[5, 5:120] = True  # long thin runs with bends
+    mask[5:120, 119] = True
+    mask[119, 40:120] = True
+    counts = {}
+    for conn in (1, 2):
+        a, ca = label_components(jnp.asarray(mask), connectivity=conn, impl="scan")
+        b, cb = label_components(jnp.asarray(mask), connectivity=conn, impl="sweeps")
+        assert int(ca) == int(cb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        counts[conn] = int(ca)
+    ref, ref_count = ndi.label(mask)  # scipy default structure = 4-connectivity
+    assert counts[1] == ref_count
+
+
 def test_label_components_8conn(rng):
     mask = np.zeros((16, 16), bool)
     mask[2, 2] = mask[3, 3] = True  # diagonal touch

@@ -57,3 +57,30 @@ def test_score_frames_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(ref["reconstruction_mse"], out["reconstruction_mse"], atol=1e-5)
     np.testing.assert_array_equal(ref["conservative_predictions"], out["conservative_predictions"])
     assert ref["moderate_anomaly_rate"] == out["moderate_anomaly_rate"]
+
+
+def test_score_frames_fused_sharded_matches_unsharded(rng):
+    # the mesh path of the fused single-dispatch graph (shard_map over
+    # 'data', whole body per shard) must equal the single-device fused path
+    from cell_image_analysis_tpu.models.segmentation import threshold_segment
+    from cell_image_analysis_tpu.pipeline.scoring import score_frames_fused
+    from cell_image_analysis_tpu.utils.synthetic import make_frame
+
+    model, params, _, _ = _fitted_params(rng, n_train=120)
+    frames = [make_frame(rng, size=256, n_cells=8) for _ in range(8)]
+    segs = jnp.asarray(np.stack([f[..., 2] for f in frames]).astype(np.float32))
+    greens = jnp.asarray(np.stack([f[..., 1] for f in frames]).astype(np.float32))
+
+    kw = dict(chunk=16, cell_capacity=32)
+    ref, ref_stats = score_frames_fused(model, params, segs, greens,
+                                        threshold_segment, **kw)
+    mesh = make_mesh(8)
+    out, out_stats = score_frames_fused(model, params, segs, greens,
+                                        threshold_segment, mesh=mesh, **kw)
+    np.testing.assert_array_equal(ref_stats["frame_index"], out_stats["frame_index"])
+    np.testing.assert_array_equal(ref_stats["area"], out_stats["area"])
+    for k in ref:
+        if k.endswith("_rate"):
+            assert ref[k] == out[k], k
+        else:
+            np.testing.assert_allclose(out[k], ref[k], atol=1e-5, err_msg=k)
