@@ -109,12 +109,21 @@ def label_components(
     about as much as a sweep, so batching sweeps cuts loop overhead at the
     price of at most sweeps_per_check-1 wasted sweeps after convergence.
 
-    impl="auto": scan on TPU, sweeps elsewhere.  Both reach the identical
-    fixpoint (component-min labels), so the choice never changes results.
+    impl="pallas": the whole convergence loop runs in one Pallas kernel with
+    the label image VMEM-resident (ops/pallas/cc_kernel.py) — the sweep
+    impls are HBM-bandwidth-bound at ~5 full arrays per sweep, this one
+    reads the mask and writes the labels once.
+
+    impl="auto": pallas on TPU, sweeps elsewhere.  All impls reach the
+    identical fixpoint (component-min labels), so the choice never changes
+    results.
     """
-    if impl == "auto":
-        impl = "scan" if jax.default_backend() == "tpu" else "sweeps"
     h, w = mask.shape
+    if impl == "auto":
+        # pallas keeps the whole frame VMEM-resident: ~6 live (H, W) int32
+        # arrays must fit the 100 MB kernel VMEM budget
+        fits_vmem = h * w * 4 * 6 <= 96 * 1024 * 1024
+        impl = "pallas" if (jax.default_backend() == "tpu" and fits_vmem) else "sweeps"
     idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + jax.lax.broadcasted_iota(
         jnp.int32, (h, w), 1
     )
@@ -148,11 +157,16 @@ def label_components(
             new = jnp.where(new == _INF, 0, new)
         return new, jnp.any(new != lbl)
 
-    body = body_scan if impl == "scan" else body_sweeps
-    # initial flag derived from lbl0 (always True) so its type matches the
-    # body output under shard_map's varying-axes typing (a literal True is
-    # replicated; jnp.any(...) inside the body is device-varying)
-    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.any(lbl0 >= 0)))
+    if impl == "pallas":
+        from cell_image_analysis_tpu.ops.pallas.cc_kernel import cc_min_labels_pallas
+
+        lbl = cc_min_labels_pallas(mask, connectivity=connectivity)
+    else:
+        body = body_scan if impl == "scan" else body_sweeps
+        # initial flag derived from lbl0 (always True) so its type matches
+        # the body output under shard_map's varying-axes typing (a literal
+        # True is replicated; jnp.any(...) inside the body is device-varying)
+        lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.any(lbl0 >= 0)))
 
     # compact to 1..K in raster order of component minima
     flat = lbl.reshape(-1)

@@ -364,7 +364,10 @@ def _candidates_batch(segs, greens, segment_fn, ckw):
 
     def one(seg, green):
         labels = segment_fn(seg)
-        return extract_candidates(labels, green, **kwargs)
+        # uint16 label map rides along for host-side report stats (solidity
+        # needs the full map; uint16 halves the tunnel transfer, and label
+        # capacities are << 65536)
+        return extract_candidates(labels, green, **kwargs), labels.astype(jnp.uint16)
 
     return jax.vmap(one)(segs, greens)
 
@@ -377,6 +380,7 @@ def extract_cells_frames(
     small_cap: int = 96,
     out_size: int = 64,
     clip_limit: float = 0.02,
+    return_labels: bool = False,
     **candidate_kwargs,
 ):
     """Batched multi-frame extraction: segmentation + stage A vmapped over a
@@ -386,11 +390,13 @@ def extract_cells_frames(
 
     `segment_fn`: (H, W) seg channel -> (H, W) int32 labels (jit-composable,
     identity-stable — the stage-A jit caches on it).
-    Returns (cells (n, out, out), stats dict incl. `frame_index`)."""
+    Returns (cells (n, out, out), stats dict incl. `frame_index`); with
+    `return_labels` also the (B, H, W) uint16 label maps as numpy (for
+    host-side report stats like solidity)."""
     import numpy as np
 
-    cand = _candidates_batch(segs, greens, segment_fn,
-                             tuple(sorted(candidate_kwargs.items())))
+    cand, labels16 = _candidates_batch(segs, greens, segment_fn,
+                                       tuple(sorted(candidate_kwargs.items())))
     B, cap = cand.crops.shape[0], cand.crops.shape[1]
     crops = cand.crops.reshape(B * cap, *cand.crops.shape[2:])
     heights = cand.heights.reshape(-1)
@@ -411,7 +417,8 @@ def extract_cells_frames(
                  eccentricity=ecc[pool_idx], mean_intensity=mean[pool_idx],
                  std_intensity=std[pool_idx], frame_index=frame_index)
     if n == 0:
-        return np.zeros((0, out_size, out_size), np.float32), stats
+        empty = np.zeros((0, out_size, out_size), np.float32)
+        return (empty, stats, np.asarray(labels16)) if return_labels else (empty, stats)
 
     # compact the pool indices: bucketed stage B addresses the flat pool
     cells = np.empty((n, out_size, out_size), np.float32)
@@ -426,4 +433,6 @@ def extract_cells_frames(
             out = preprocess_gather(crops, heights, widths, jnp.asarray(idx),
                                     cap_b, out_size=out_size, clip_limit=clip_limit)
             cells[take] = np.asarray(out)[: len(take)]
+    if return_labels:
+        return cells, stats, np.asarray(labels16)
     return cells, stats

@@ -429,6 +429,15 @@ def score_frames_fused(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         nd = mesh.shape["data"]
+        if B % nd:
+            # pad to a multiple of the mesh with zero frames — they produce
+            # no QC-passing cells (intensity gates fail on zeros), so the
+            # decoded pool is unaffected
+            pad = nd - B % nd
+            zshape = (pad,) + tuple(segs.shape[1:])
+            segs = jnp.concatenate([segs, jnp.zeros(zshape, segs.dtype)])
+            greens = jnp.concatenate([greens, jnp.zeros(zshape, greens.dtype)])
+            B += pad
         segs = jax.device_put(segs, NamedSharding(mesh, P("data", None, None)))
         greens = jax.device_put(greens, NamedSharding(mesh, P("data", None, None)))
         params = jax.device_put(params, NamedSharding(mesh, P()))

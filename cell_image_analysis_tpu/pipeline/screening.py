@@ -124,9 +124,16 @@ class ProductionMutantScreening:
 
         Returns (scores dict, per-file cell counts, per-file mean
         intensities)."""
-        from cell_image_analysis_tpu.pipeline.scoring import score_frames
+        from cell_image_analysis_tpu.pipeline.scoring import score_frames_fused
 
         cfg = self.config
+        # threshold backend provably bounds foreground at
+        # (100 - threshold_percentile)% of the frame, so the regionprops
+        # compaction capacity can shrink accordingly (BENCH.md)
+        if cfg.seg.backend == "threshold":
+            fg_fraction = min(0.25, (100.0 - cfg.seg.threshold_percentile) / 100.0 + 0.02)
+        else:
+            fg_fraction = 0.25
         batch_max = 8
         frame_names: list = []
         pend_frames: list = []
@@ -140,10 +147,12 @@ class ProductionMutantScreening:
             segs = jnp.asarray(np.stack([f[0] for f in pend_frames]).astype(np.float32))
             greens = jnp.asarray(np.stack([f[1] for f in pend_frames]).astype(np.float32))
             with self.timer.stage("score_frames"):
-                scores, stats = score_frames(
+                scores, stats = score_frames_fused(
                     self.model, self.scoring_params, segs, greens,
                     self._segment,
                     mesh=self.mesh,
+                    chunk=32, caps=(64, 96),
+                    fg_fraction=fg_fraction,
                     label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
                     cell_capacity=cfg.extract.cell_capacity,
                     crop_capacity=cfg.extract.crop_capacity,

@@ -77,6 +77,9 @@ class ImprovedAnomalyDetectionTraining:
         self.unet_variables = unet_variables
         self.mesh = mesh
         self.timer = StageTimer()
+        # identity-stable segmentation callable: the batched stage-A jit
+        # caches on segment_fn identity (a fresh lambda per batch re-traces)
+        self._segment = lambda s: segment_frame(s, self.config.seg, self.unet_variables)
         os.makedirs(output_dir, exist_ok=True)
 
     # stage 1 -----------------------------------------------------------------
@@ -114,26 +117,75 @@ class ImprovedAnomalyDetectionTraining:
         print(f"Found {len(file_paths)} image files")
 
         all_cells, all_stats, file_summary = [], [], []
+
+        def flush(pend):
+            """Batched extraction of same-shape frames: segmentation + stage A
+            run vmapped in ONE dispatch across the batch (the screening path's
+            throughput fix applied to training); labels come back as uint16
+            for the host-side solidity report stat."""
+            if not pend:
+                return
+            from cell_image_analysis_tpu.ops.extract import extract_cells_frames
+
+            cfg = self.config
+            segs = jnp.asarray(np.stack([p[1] for p in pend]).astype(np.float32))
+            greens = jnp.asarray(np.stack([p[2] for p in pend]).astype(np.float32))
+            try:
+                with self.timer.stage("extract_batch"):
+                    cells, st, labels16 = extract_cells_frames(
+                        segs, greens, self._segment, return_labels=True,
+                        out_size=cfg.extract.out_size,
+                        label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
+                        cell_capacity=cfg.extract.cell_capacity,
+                        crop_capacity=cfg.extract.crop_capacity,
+                        border_margin=cfg.qc.border_margin,
+                        min_area=cfg.qc.min_area,
+                        max_area=cfg.qc.max_area,
+                        max_eccentricity=cfg.qc.max_eccentricity,
+                        min_mean_intensity=cfg.qc.min_mean_intensity,
+                        min_std_intensity=cfg.qc.min_std_intensity,
+                    )
+            except Exception as e:  # skip-and-log (reference behavior)
+                for path, _, _ in pend:
+                    print(f"Error processing {path}: {e}")
+                    file_summary.append(dict(
+                        filename=os.path.basename(path), cells_extracted=0,
+                        mean_cell_intensity=0))
+                pend.clear()
+                return
+            for f, (path, _, _) in enumerate(pend):
+                filename = os.path.basename(path)
+                m = st["frame_index"] == f
+                sols = _solidity_for_labels(
+                    labels16[f].astype(np.int32), st["label_ids"][m], st["area"][m])
+                n_f = int(m.sum())
+                for a, e, s, mi, sd in zip(
+                    st["area"][m], st["eccentricity"][m], sols,
+                    st["mean_intensity"][m], st["std_intensity"][m],
+                ):
+                    all_stats.append(dict(
+                        area=int(a), eccentricity=float(e), solidity=float(s),
+                        mean_intensity=float(mi), std_intensity=float(sd),
+                        file=filename))
+                all_cells.append(cells[m])
+                file_summary.append(dict(
+                    filename=filename,
+                    cells_extracted=n_f,
+                    mean_cell_intensity=float(st["mean_intensity"][m].mean()) if n_f else 0,
+                ))
+                print(f"  Extracted {n_f} quality cells")
+            pend.clear()
+
+        pend: list = []
         stream = FrameStream(file_paths)
         for i, (path, seg, green) in enumerate(stream):
-            filename = os.path.basename(path)
-            print(f"Processing {i + 1}/{len(file_paths)}: {filename}")
-            try:
-                with self.timer.stage("extract_frame"):
-                    cells, stats = self.extract_quality_cells(seg, green)
-            except Exception as e:  # skip-and-log (reference behavior)
-                print(f"Error processing {path}: {e}")
-                cells, stats = np.zeros((0, 64, 64), np.float32), []
-            for s in stats:
-                s["file"] = filename
-            all_cells.append(cells)
-            all_stats.extend(stats)
-            file_summary.append(dict(
-                filename=filename,
-                cells_extracted=len(cells),
-                mean_cell_intensity=float(np.mean([s["mean_intensity"] for s in stats])) if stats else 0,
-            ))
-            print(f"  Extracted {len(cells)} quality cells")
+            print(f"Processing {i + 1}/{len(file_paths)}: {os.path.basename(path)}")
+            if pend and seg.shape != pend[0][1].shape:
+                flush(pend)
+            pend.append((path, seg, green))
+            if len(pend) >= 8:
+                flush(pend)
+        flush(pend)
         for path, err in stream.errors:
             print(f"Error processing {path}: {err}")
             file_summary.append(dict(filename=os.path.basename(path), cells_extracted=0,

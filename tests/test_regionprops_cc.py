@@ -41,8 +41,10 @@ def test_label_components_impls_agree(rng):
     for conn in (1, 2):
         a, ca = label_components(jnp.asarray(mask), connectivity=conn, impl="scan")
         b, cb = label_components(jnp.asarray(mask), connectivity=conn, impl="sweeps")
-        assert int(ca) == int(cb)
+        c, cc_ = label_components(jnp.asarray(mask), connectivity=conn, impl="pallas")
+        assert int(ca) == int(cb) == int(cc_)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
         counts[conn] = int(ca)
     ref, ref_count = ndi.label(mask)  # scipy default structure = 4-connectivity
     assert counts[1] == ref_count
