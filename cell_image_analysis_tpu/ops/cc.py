@@ -82,6 +82,63 @@ def _run_min(val: jax.Array, rid: jax.Array, axis: int) -> jax.Array:
     return val
 
 
+def _iota_labels(mask: jax.Array) -> jax.Array:
+    h, w = mask.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + jax.lax.broadcasted_iota(
+        jnp.int32, (h, w), 1
+    )
+    return jnp.where(mask, idx + 1, 0)
+
+
+def _sweep_fixpoint(mask, lbl0, connectivity, sweeps_per_check):
+    """Min-propagation to fixpoint from an arbitrary valid initialization
+    (every positive init value must be `index+1` of a pixel in the same
+    component — then the fixpoint is the component min, independent of
+    init; better inits just converge in fewer sweeps)."""
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lbl, _ = state
+        new = lbl
+        for _ in range(sweeps_per_check):
+            nm = _neighbor_min(new, connectivity)
+            new = jnp.where(mask, jnp.minimum(jnp.where(new > 0, new, _INF), nm), 0)
+            new = jnp.where(new == _INF, 0, new)
+        return new, jnp.any(new != lbl)
+
+    # initial flag derived from lbl0 (always True) so its type matches the
+    # body output under shard_map's varying-axes typing
+    lbl, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.any(lbl0 >= 0)))
+    return lbl
+
+
+def _hier_labels(mask, connectivity, sweeps_per_check, levels=3):
+    """Hierarchically-initialized min-propagation.
+
+    Coarse mask = AND over 2x2 blocks: two adjacent solid blocks are always
+    fine-connected, so coarse connectivity is a SUBSET of fine connectivity
+    and the coarse fixpoint (computed recursively at 1/4 the cost per
+    sweep) is a *valid initialization* for the fine level — each solid
+    block's pixels start at the fine index of its coarse component's min
+    block's top-left pixel, which is a member of the same fine component.
+    Fine sweeps then only need to propagate across non-solid bridges
+    (boundary bands, 1-px necks) instead of whole blob-chain geodesics."""
+    h, w = mask.shape
+    if levels <= 0 or h % 2 or w % 2 or min(h, w) < 256:
+        return _sweep_fixpoint(mask, _iota_labels(mask), connectivity, sweeps_per_check)
+    cm = mask[0::2, 0::2] & mask[1::2, 0::2] & mask[0::2, 1::2] & mask[1::2, 1::2]
+    # conn-1 on the coarse grid is a safe subset of fine conn 1 and 2
+    cl = _hier_labels(cm, 1, sweeps_per_check, levels - 1)
+    cw2 = w // 2
+    ci = cl - 1
+    fine_val = jnp.where(cl > 0, (2 * (ci // cw2)) * w + 2 * (ci % cw2) + 1, 0)
+    up = jnp.repeat(jnp.repeat(fine_val, 2, axis=0), 2, axis=1)
+    own = _iota_labels(mask)
+    lbl0 = jnp.where(mask, jnp.where(up > 0, jnp.minimum(own, up), own), 0)
+    return _sweep_fixpoint(mask, lbl0, connectivity, sweeps_per_check)
+
+
 @partial(jax.jit, static_argnames=("connectivity", "sweeps_per_check", "impl"))
 def label_components(
     mask: jax.Array, connectivity: int = 1, sweeps_per_check: int = 4,
@@ -114,16 +171,23 @@ def label_components(
     impls are HBM-bandwidth-bound at ~5 full arrays per sweep, this one
     reads the mask and writes the labels once.
 
-    impl="auto": pallas on TPU, sweeps elsewhere.  All impls reach the
+    impl="hier": sweeps initialized from a recursively computed coarse
+    (2x2-AND) fixpoint — coarse connectivity is a provable subset of fine
+    connectivity, so the init is valid and the fine level only propagates
+    across non-solid bridges instead of whole component geodesics.
+
+    impl="auto": hier on TPU, sweeps elsewhere.  All impls reach the
     identical fixpoint (component-min labels), so the choice never changes
     results.
     """
     h, w = mask.shape
     if impl == "auto":
-        # pallas keeps the whole frame VMEM-resident: ~6 live (H, W) int32
-        # arrays must fit the 100 MB kernel VMEM budget
-        fits_vmem = h * w * 4 * 6 <= 96 * 1024 * 1024
-        impl = "pallas" if (jax.default_backend() == "tpu" and fits_vmem) else "sweeps"
+        # all four impls measured within noise of each other on blob masks
+        # (~160-190 ms on 8x1024^2; see BENCH.md) — convergence is bound by
+        # geodesics through THIN structures, which neither run-scans, the
+        # VMEM-resident kernel, nor hierarchical init shorten.  scan is the
+        # marginal winner with no VMEM caveats.
+        impl = "scan" if jax.default_backend() == "tpu" else "sweeps"
     idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + jax.lax.broadcasted_iota(
         jnp.int32, (h, w), 1
     )
@@ -132,15 +196,6 @@ def label_components(
     def cond(state):
         _, changed = state
         return changed
-
-    def body_sweeps(state):
-        lbl, _ = state
-        new = lbl
-        for _ in range(sweeps_per_check):
-            nm = _neighbor_min(new, connectivity)
-            new = jnp.where(mask, jnp.minimum(jnp.where(new > 0, new, _INF), nm), 0)
-            new = jnp.where(new == _INF, 0, new)
-        return new, jnp.any(new != lbl)
 
     rid_row = _run_ids(mask, 1) if impl == "scan" else None
     rid_col = _run_ids(mask, 0) if impl == "scan" else None
@@ -161,8 +216,12 @@ def label_components(
         from cell_image_analysis_tpu.ops.pallas.cc_kernel import cc_min_labels_pallas
 
         lbl = cc_min_labels_pallas(mask, connectivity=connectivity)
+    elif impl == "hier":
+        lbl = _hier_labels(mask, connectivity, sweeps_per_check)
+    elif impl == "sweeps":
+        lbl = _sweep_fixpoint(mask, lbl0, connectivity, sweeps_per_check)
     else:
-        body = body_scan if impl == "scan" else body_sweeps
+        body = body_scan
         # initial flag derived from lbl0 (always True) so its type matches
         # the body output under shard_map's varying-axes typing (a literal
         # True is replicated; jnp.any(...) inside the body is device-varying)

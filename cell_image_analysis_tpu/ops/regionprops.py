@@ -131,7 +131,16 @@ def regionprops(labels: jax.Array, capacity: int, fg_fraction: float = 0.25,
     h, w = labels.shape
     flat = labels.reshape(-1)
     fg_cap = max(int(h * w * fg_fraction), 1024)
-    fgidx = jnp.nonzero(flat > 0, size=fg_cap, fill_value=h * w)[0]
+    # cumsum + rank-scatter compaction: equivalent to
+    # jnp.nonzero(size=fg_cap, fill_value=h*w) but 1.5x faster on TPU
+    # (nonzero's lowering measured 106.6 vs 72.6 ms on 8x1024^2; BENCH.md)
+    fg_mask = flat > 0
+    ranks = jnp.cumsum(fg_mask.astype(jnp.int32))
+    pos = jnp.minimum(jnp.where(fg_mask, ranks - 1, fg_cap), fg_cap)
+    fgidx = (
+        jnp.full((fg_cap + 1,), h * w, jnp.int32)
+        .at[pos].set(jnp.arange(h * w, dtype=jnp.int32), mode="drop")[:fg_cap]
+    )
     in_fg = fgidx < h * w
     fgi = jnp.minimum(fgidx, h * w - 1)
     lab_fg = jnp.where(in_fg, flat[fgi], 0)

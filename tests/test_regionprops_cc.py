@@ -39,13 +39,12 @@ def test_label_components_impls_agree(rng):
     mask[119, 40:120] = True
     counts = {}
     for conn in (1, 2):
-        a, ca = label_components(jnp.asarray(mask), connectivity=conn, impl="scan")
-        b, cb = label_components(jnp.asarray(mask), connectivity=conn, impl="sweeps")
-        c, cc_ = label_components(jnp.asarray(mask), connectivity=conn, impl="pallas")
-        assert int(ca) == int(cb) == int(cc_)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
-        counts[conn] = int(ca)
+        ref, cref = label_components(jnp.asarray(mask), connectivity=conn, impl="sweeps")
+        for impl in ("scan", "pallas", "hier"):
+            got, cgot = label_components(jnp.asarray(mask), connectivity=conn, impl=impl)
+            assert int(cgot) == int(cref), impl
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref), err_msg=impl)
+        counts[conn] = int(cref)
     ref, ref_count = ndi.label(mask)  # scipy default structure = 4-connectivity
     assert counts[1] == ref_count
 
