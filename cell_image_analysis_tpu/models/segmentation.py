@@ -59,6 +59,26 @@ def binary_opening(mask: jax.Array, iterations: int = 1) -> jax.Array:
     return mask
 
 
+@partial(jax.jit, static_argnames=("threshold_percentile", "pmin", "pmax", "opening"))
+def threshold_mask(
+    seg_channel: jax.Array,
+    threshold_percentile: float = 90.0,
+    pmin: float = 3.0,
+    pmax: float = 99.8,
+    opening: bool = True,
+) -> jax.Array:
+    """The threshold backend up to (but not including) labeling: percentile-
+    normalize, threshold, denoise (binary opening).  The production screening
+    path consumes this boolean mask directly through the run-length
+    regionprops (ops/runs.py) and never materializes a label map."""
+    norm = normalize_percentile(seg_channel, pmin=pmin, pmax=pmax)
+    thresh = percentile(norm, threshold_percentile)
+    mask = norm > thresh
+    if opening:
+        mask = binary_opening(mask)
+    return mask
+
+
 @partial(jax.jit, static_argnames=("threshold_percentile", "pmin", "pmax", "connectivity", "opening"))
 def threshold_segment(
     seg_channel: jax.Array,
@@ -70,11 +90,10 @@ def threshold_segment(
 ) -> jax.Array:
     """Percentile-normalize, threshold, denoise (binary opening), connected
     components."""
-    norm = normalize_percentile(seg_channel, pmin=pmin, pmax=pmax)
-    thresh = percentile(norm, threshold_percentile)
-    mask = norm > thresh
-    if opening:
-        mask = binary_opening(mask)
+    mask = threshold_mask(
+        seg_channel, threshold_percentile=threshold_percentile,
+        pmin=pmin, pmax=pmax, opening=opening,
+    )
     labels, _ = label_components(mask, connectivity=connectivity)
     return labels
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from cell_image_analysis_tpu.ops.clahe import clahe_cells
 from cell_image_analysis_tpu.ops.regionprops import qc_mask, regionprops
 from cell_image_analysis_tpu.ops.resize import resize_cells
+from cell_image_analysis_tpu.ops.runs import regionprops_from_mask
 
 
 class Candidates(NamedTuple):
@@ -138,39 +139,24 @@ def extract_cells(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "label_capacity", "cell_capacity", "crop_capacity",
-        "border_margin", "min_area", "max_area", "fg_fraction",
-    ),
-)
-def extract_candidates(
-    labels: jax.Array,
+def _candidates_from_props(
+    props,
     green: jax.Array,
-    label_capacity: int = 1024,
-    cell_capacity: int = 512,
-    crop_capacity: int = 192,
-    border_margin: int = 10,
-    min_area: int = 200,
-    max_area: int = 8000,
-    max_eccentricity: float = 0.95,
-    min_mean_intensity: float = 0.5,
-    min_std_intensity: float = 0.1,
-    fg_fraction: float = 0.25,
+    label_capacity: int,
+    cell_capacity: int,
+    crop_capacity: int,
+    border_margin: int,
+    min_area: int,
+    max_area: int,
+    max_eccentricity: float,
+    min_mean_intensity: float,
+    min_std_intensity: float,
 ) -> Candidates:
-    """Stage A of the chunked extraction path: everything up to (but not
-    including) CLAHE/resize, with the surviving cells repacked to the front
-    in ascending-label order so stage B (preprocess_chunk) runs only
-    ceil(n/chunk) times on actual cells rather than the full capacity.
-
-    Splitting here is the throughput fix for the capacity-vs-occupancy waste:
-    CLAHE/resize cost scales with the padded pixel count, so they run on
-    packed chunks (profiled 4-25x win at typical cell counts)."""
-    h, w = labels.shape
+    """Shared stage-A tail: geometric QC -> capacity-bounded crop gather ->
+    raw-intensity QC -> front-repacking, from an already-computed RegionProps
+    (either the label-map path or the run-length path)."""
+    h, w = green.shape
     green = green.astype(jnp.float32)
-
-    props = regionprops(labels, capacity=label_capacity, fg_fraction=fg_fraction)
     geo = qc_mask(
         props, jnp.int32(h), jnp.int32(w),
         border_margin=border_margin, min_area=min_area, max_area=max_area,
@@ -217,6 +203,94 @@ def extract_candidates(
         std_intensity=jnp.where(ok, std[o], 0.0),
         n_valid=jnp.sum(valid.astype(jnp.int32)),
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "label_capacity", "cell_capacity", "crop_capacity",
+        "border_margin", "min_area", "max_area", "fg_fraction",
+    ),
+)
+def extract_candidates(
+    labels: jax.Array,
+    green: jax.Array,
+    label_capacity: int = 1024,
+    cell_capacity: int = 512,
+    crop_capacity: int = 192,
+    border_margin: int = 10,
+    min_area: int = 200,
+    max_area: int = 8000,
+    max_eccentricity: float = 0.95,
+    min_mean_intensity: float = 0.5,
+    min_std_intensity: float = 0.1,
+    fg_fraction: float = 0.25,
+) -> Candidates:
+    """Stage A of the chunked extraction path: everything up to (but not
+    including) CLAHE/resize, with the surviving cells repacked to the front
+    in ascending-label order so stage B (preprocess_chunk) runs only
+    ceil(n/chunk) times on actual cells rather than the full capacity.
+
+    Splitting here is the throughput fix for the capacity-vs-occupancy waste:
+    CLAHE/resize cost scales with the padded pixel count, so they run on
+    packed chunks (profiled 4-25x win at typical cell counts)."""
+    props = regionprops(labels, capacity=label_capacity, fg_fraction=fg_fraction)
+    return _candidates_from_props(
+        props, green,
+        label_capacity=label_capacity, cell_capacity=cell_capacity,
+        crop_capacity=crop_capacity, border_margin=border_margin,
+        min_area=min_area, max_area=max_area,
+        max_eccentricity=max_eccentricity,
+        min_mean_intensity=min_mean_intensity,
+        min_std_intensity=min_std_intensity,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "label_capacity", "cell_capacity", "crop_capacity",
+        "border_margin", "min_area", "max_area", "rcap", "connectivity",
+    ),
+)
+def extract_candidates_from_mask(
+    mask: jax.Array,
+    green: jax.Array,
+    label_capacity: int = 1024,
+    cell_capacity: int = 512,
+    crop_capacity: int = 192,
+    border_margin: int = 10,
+    min_area: int = 200,
+    max_area: int = 8000,
+    max_eccentricity: float = 0.95,
+    min_mean_intensity: float = 0.5,
+    min_std_intensity: float = 0.1,
+    rcap: int = 64,
+    connectivity: int = 1,
+) -> tuple[Candidates, jax.Array]:
+    """Stage A from a boolean foreground mask via the run-length path
+    (ops/runs.py): row-run table -> hook CC over runs -> closed-form run
+    moments.  Skips the two pixel-level bottlenecks of the label-map path —
+    iterative full-frame CC and fg-pixel compaction — measured 88 ms vs
+    259 ms per 8x1024^2 batch on the production TPU (scripts/probe_runs.py).
+    The instance label map is never materialized.
+
+    Returns (Candidates, overflow); `overflow` (device bool) is True when
+    some row had more than `rcap` runs — results are then untrustworthy and
+    callers must fall back to the exact label-map path (extract_candidates).
+    """
+    props, overflow = regionprops_from_mask(
+        mask, capacity=label_capacity, rcap=rcap, connectivity=connectivity
+    )
+    return _candidates_from_props(
+        props, green,
+        label_capacity=label_capacity, cell_capacity=cell_capacity,
+        crop_capacity=crop_capacity, border_margin=border_margin,
+        min_area=min_area, max_area=max_area,
+        max_eccentricity=max_eccentricity,
+        min_mean_intensity=min_mean_intensity,
+        min_std_intensity=min_std_intensity,
+    ), overflow
 
 
 @partial(jax.jit, static_argnames=("out_size", "clip_limit", "nbins", "grid"))

@@ -27,6 +27,10 @@ import numpy as np
 
 from cell_image_analysis_tpu.models.cae import CAE
 from cell_image_analysis_tpu.models.svm import SVMParams, decision_function
+from cell_image_analysis_tpu.ops.extract import (
+    extract_candidates,
+    extract_candidates_from_mask,
+)
 from cell_image_analysis_tpu.ops.fft_features import fft_features
 
 
@@ -123,6 +127,7 @@ def score_frames(
     out_size: int = 64,
     clip_limit: float = 0.02,
     mesh=None,
+    fallback_segment_fn=None,
     **candidate_kwargs,
 ) -> dict:
     """Device-resident screening of a (B, H, W) frame stack: vmapped
@@ -136,10 +141,15 @@ def score_frames(
     replicate; XLA inserts the collectives.  B should be a multiple of the
     mesh size.
 
+    `fallback_segment_fn`: exact label-map segmentation to re-run with when
+    a mask-returning segment_fn overflows the run-table capacity (never
+    observed on realistic plates — see ops/runs.py).
+
     Returns the compute_anomaly_scores dict schema plus per-cell stats and
     frame_index."""
     from cell_image_analysis_tpu.ops.extract import preprocess_gather_score
 
+    segs0, greens0 = segs, greens
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -153,7 +163,14 @@ def score_frames(
     crops = crops.reshape(B * cap, *crops.shape[2:])
     heights = heights.reshape(-1)
     widths = widths.reshape(-1)
-    st = np.asarray(packed_stats)  # (B, 8, cap) — ONE transfer
+    st = np.asarray(packed_stats)  # (B, 9, cap) — ONE transfer
+    if st[:, 8].max() > 0.5 and fallback_segment_fn is not None:
+        # run-table overflow: results untrustworthy, redo exactly
+        return score_frames(
+            model, params, segs0, greens0, fallback_segment_fn, chunk=chunk,
+            small_cap=small_cap, min_votes=min_votes, out_size=out_size,
+            clip_limit=clip_limit, mesh=mesh, **candidate_kwargs,
+        )
     valid = st[:, 0].reshape(-1) > 0.5
     hs = st[:, 1].reshape(-1).astype(np.int32)
     ws = st[:, 2].reshape(-1).astype(np.int32)
@@ -211,6 +228,37 @@ _FUSED_FFT_DIM = 16 + 8 + 3
 _FUSED_D = 9 + _FUSED_FFT_DIM
 
 
+def _stage_a_one(segment_fn, candidate_kwargs, seg, green):
+    """Segmentation + stage-A candidates for ONE frame (traced under vmap).
+
+    A segment_fn with `returns_mask = True` produces a boolean foreground
+    mask instead of a label map; it routes through the run-length CC +
+    regionprops path (ops/runs.py — measured 88 vs 259 ms per 8-frame batch
+    on the production TPU) and contributes a per-frame run-capacity overflow
+    flag, broadcast into row 8 of the packed stats so the host can trigger
+    the exact label-map fallback.  Label-map segment_fns pack zeros there."""
+    kw = dict(candidate_kwargs)
+    if getattr(segment_fn, "returns_mask", False):
+        kw.pop("fg_fraction", None)
+        cand, overflow = extract_candidates_from_mask(segment_fn(seg), green, **kw)
+        ovf = jnp.full(cand.valid.shape, overflow, jnp.float32)
+    else:
+        kw.pop("rcap", None)
+        kw.pop("connectivity", None)
+        cand = extract_candidates(segment_fn(seg), green, **kw)
+        ovf = jnp.zeros(cand.valid.shape, jnp.float32)
+    packed = jnp.stack([
+        cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
+        cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
+        cand.area.astype(jnp.float32), cand.eccentricity,
+        cand.mean_intensity, cand.std_intensity, ovf,
+    ])
+    return cand.crops, cand.heights, cand.widths, packed
+
+
+_N_STAT_ROWS = 9  # valid,h,w,label,area,ecc,mean,std,overflow
+
+
 @partial(jax.jit, static_argnames=("segment_fn", "ckw"))
 def _stage_a_graph(segs, greens, segment_fn, ckw):
     """Vmapped segmentation + candidate extraction for a frame batch.
@@ -219,20 +267,10 @@ def _stage_a_graph(segs, greens, segment_fn, ckw):
     re-trace (and re-fetch the remote compile of) the whole segmentation
     graph every batch.  Caching keys on `segment_fn` identity — callers must
     pass a stable callable."""
-    from cell_image_analysis_tpu.ops.extract import extract_candidates
-
     candidate_kwargs = dict(ckw)
 
     def one(seg, green):
-        labels = segment_fn(seg)
-        cand = extract_candidates(labels, green, **candidate_kwargs)
-        packed = jnp.stack([
-            cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
-            cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
-            cand.area.astype(jnp.float32), cand.eccentricity,
-            cand.mean_intensity, cand.std_intensity,
-        ])
-        return cand.crops, cand.heights, cand.widths, packed
+        return _stage_a_one(segment_fn, candidate_kwargs, seg, green)
 
     return jax.vmap(one)(segs, greens)
 
@@ -248,22 +286,13 @@ def _fused_screen_local(model, params, segs, greens, segment_fn, chunk,
     `vary_axis`: under shard_map, the mesh axis name — loop-carry literals
     (the zeros result buffer) must be marked device-varying with pvary to
     type-match the body outputs."""
-    from cell_image_analysis_tpu.ops.extract import extract_candidates
     from cell_image_analysis_tpu.ops.clahe import clahe_cells
     from cell_image_analysis_tpu.ops.resize import resize_cells
 
     candidate_kwargs = dict(ckw)
 
     def one(seg, green):
-        labels = segment_fn(seg)
-        cand = extract_candidates(labels, green, **candidate_kwargs)
-        packed = jnp.stack([
-            cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
-            cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
-            cand.area.astype(jnp.float32), cand.eccentricity,
-            cand.mean_intensity, cand.std_intensity,
-        ])
-        return cand.crops, cand.heights, cand.widths, packed
+        return _stage_a_one(segment_fn, candidate_kwargs, seg, green)
 
     crops, heights, widths, packed_stats = jax.vmap(one)(segs, greens)
     B = crops.shape[0]
@@ -387,6 +416,7 @@ def score_frames_fused(
     out_size: int = 64,
     clip_limit: float = 0.02,
     mesh=None,
+    fallback_segment_fn=None,
     **candidate_kwargs,
 ) -> dict:
     """Single-dispatch variant of `score_frames`: the WHOLE per-batch
@@ -417,6 +447,7 @@ def score_frames_fused(
     ccap = candidate_kwargs.get("cell_capacity", 512)
     ckw = tuple(sorted(candidate_kwargs.items()))
     B = int(segs.shape[0])
+    segs0, greens0 = segs, greens
 
     if mesh is None:
         flat = np.asarray(_fused_screen_graph(
@@ -449,10 +480,20 @@ def score_frames_fused(
         shards = [(flat2[s], s * b_local) for s in range(nd)]
 
     n_local = b_local * ccap
+    if fallback_segment_fn is not None and any(
+        flat[(n_local + 1) * D :].reshape(b_local, _N_STAT_ROWS, ccap)[:, 8].max() > 0.5
+        for flat, _ in shards
+    ):
+        # run-table overflow in the mask path: redo with the exact label path
+        return score_frames_fused(
+            model, params, segs0, greens0, fallback_segment_fn, chunk=chunk,
+            caps=caps, min_votes=min_votes, out_size=out_size,
+            clip_limit=clip_limit, mesh=mesh, **candidate_kwargs,
+        )
     rows_parts, stat_parts = [], []
     for flat, frame0 in shards:
         rows = flat[: (n_local + 1) * D].reshape(n_local + 1, D)
-        st = flat[(n_local + 1) * D :].reshape(b_local, 8, ccap)
+        st = flat[(n_local + 1) * D :].reshape(b_local, _N_STAT_ROWS, ccap)
         valid = st[:, 0].reshape(-1) > 0.5
         pool = np.flatnonzero(valid)
         stat_parts.append(dict(

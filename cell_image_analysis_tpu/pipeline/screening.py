@@ -43,6 +43,20 @@ class ProductionMutantScreening:
         # identity-stable segmentation callable: the scoring graphs jit-cache
         # on segment_fn identity, so a fresh lambda per batch would re-trace
         self._segment = lambda s: segment_frame(s, self.config.seg, self.unet_variables)
+        # threshold backend: the production path stops at the boolean mask and
+        # routes through the run-length CC/regionprops (ops/runs.py), never
+        # materializing a label map; self._segment stays the exact fallback
+        # for the (never-observed) run-table overflow case
+        if config.seg.backend == "threshold" or unet_variables is None:
+            from cell_image_analysis_tpu.models.segmentation import threshold_mask
+
+            self._segment_mask = lambda s: threshold_mask(
+                s, threshold_percentile=self.config.seg.threshold_percentile,
+                pmin=self.config.seg.norm_pmin, pmax=self.config.seg.norm_pmax,
+            )
+            self._segment_mask.returns_mask = True
+        else:
+            self._segment_mask = None
         self.load_trained_models()
 
     def load_trained_models(self):
@@ -149,7 +163,10 @@ class ProductionMutantScreening:
             with self.timer.stage("score_frames"):
                 scores, stats = score_frames_fused(
                     self.model, self.scoring_params, segs, greens,
-                    self._segment,
+                    self._segment_mask or self._segment,
+                    fallback_segment_fn=(
+                        self._segment if self._segment_mask is not None else None
+                    ),
                     mesh=self.mesh,
                     chunk=32, caps=(64, 96),
                     fg_fraction=fg_fraction,

@@ -74,11 +74,24 @@ def _fit_params(seed: int = 0):
     return model, params, host
 
 
+def _threshold_mask_fn(s):
+    """Identity-stable mask-returning segment_fn (the scoring graphs jit-cache
+    on segment_fn identity): the production threshold backend stops at the
+    boolean mask and stage A runs through the run-length CC/regionprops."""
+    from cell_image_analysis_tpu.models.segmentation import threshold_mask
+
+    return threshold_mask(s)
+
+
+_threshold_mask_fn.returns_mask = True
+
+
 def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
     """The production path: device-resident frame screening — vmapped
-    segmentation+candidates, fused gather+CLAHE+resize+scoring chunks; with
-    `fused` the whole batch is ONE dispatch + ONE fetch (score_frames_fused);
-    otherwise the host-chunked score_frames path."""
+    segmentation+candidates (run-length stage A with exact label-path
+    fallback on run-table overflow), fused gather+CLAHE+resize+scoring
+    chunks; with `fused` the whole batch is ONE dispatch + ONE fetch
+    (score_frames_fused); otherwise the host-chunked score_frames path."""
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
     from cell_image_analysis_tpu.pipeline.scoring import score_frames, score_frames_fused
 
@@ -88,13 +101,14 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
     # minimize padded-pixel work in the tail chunks of each bucket.
     # fg_fraction=0.12 is safe by construction for the threshold backend:
     # a 90th-percentile threshold bounds foreground at 10% and the opening
-    # only shrinks it.
+    # only shrinks it (it only gates the fallback label path's compaction).
     kw = dict(chunk=32, caps=(64, 96)) if fused else dict(chunk=256)
     kw["fg_fraction"] = 0.12
 
     def run(segs, greens):
         scores, stats = fn(
-            model, params, segs, greens, threshold_segment,
+            model, params, segs, greens, _threshold_mask_fn,
+            fallback_segment_fn=threshold_segment,
             label_capacity=4096, cell_capacity=128, **kw,
         )
         return len(stats["area"]), scores
