@@ -78,6 +78,18 @@ def _clip_histogram(hist: jax.Array, clim: jax.Array, nbins: int) -> jax.Array:
     return hist
 
 
+def _split_impl(impl: str) -> tuple[str, str]:
+    """impl -> (hist_impl, interp_impl).  "mxu"/"scatter" set both stages;
+    "A+B" mixes (e.g. "scatter+mxu" = segment-sum histograms with one-hot
+    matmul interpolation).  All combinations are bit-identical."""
+    if "+" in impl:
+        hist_impl, interp_impl = impl.split("+")
+    else:
+        hist_impl = interp_impl = impl
+    assert hist_impl in ("mxu", "scatter") and interp_impl in ("mxu", "scatter"), impl
+    return hist_impl, interp_impl
+
+
 def _clahe_one(
     crop: jax.Array,
     h: jax.Array,
@@ -113,12 +125,24 @@ def _clahe_one(
     # float32 accumulation (counts < 2^24, so exact); measured ~5x faster
     # than the scatter path on TPU.  impl="scatter": segment-sum — faster on
     # CPU, where XLA matmuls don't pay off.
+    hist_impl, interp_impl = _split_impl(impl)
     n_tiles = NS_CAP * NS_CAP
     yv = jnp.arange(vcap)
     ty = yv[:, None] // kh
     tx = yv[None, :] // kw
     vvalid = (yv[:, None] < ns_h * kh) & (yv[None, :] < ns_w * kw)
-    src = binned[_reflect(yv, h)[:, None], _reflect(yv, w)[None, :]]
+    if hist_impl == "mxu":
+        # Reflect-fold via exact 0/1 reflection matrices (R_y @ binned @ R_x^T)
+        # instead of a 2D gather: each output element selects exactly one
+        # source value (rows of R are one-hot) and bin ids < 256 are exact in
+        # f32, so this is bit-identical to the gather — and ~35 ms/batch
+        # faster on TPU, where vmapped 2D gathers lower to scalar loops
+        # (scripts/probe_hist_impls.py).
+        Ry = (_reflect(yv, h)[:, None] == ys[None, :]).astype(jnp.float32)
+        Rx = (_reflect(yv, w)[:, None] == ys[None, :]).astype(jnp.float32)
+        src = jnp.round(Ry @ binned.astype(jnp.float32) @ Rx.T).astype(jnp.int32)
+    else:
+        src = binned[_reflect(yv, h)[:, None], _reflect(yv, w)[None, :]]
     tile_flat = (ty * NS_CAP + tx).reshape(-1)
     bin_flat = src.reshape(-1)
     valid_flat = vvalid.reshape(-1)
@@ -126,7 +150,7 @@ def _clahe_one(
     tile_ids = jnp.arange(n_tiles)
     bin_ids2 = jnp.arange(nbins)
 
-    if impl == "mxu":
+    if hist_impl == "mxu":
         blk = 2048
         n_blocks = (tile_flat.shape[0] + blk - 1) // blk
         pad = n_blocks * blk - tile_flat.shape[0]
@@ -187,7 +211,7 @@ def _clahe_one(
     corner_w = jnp.stack(corner_w)           # (4, P)
 
     P = cap * cap
-    if impl == "mxu":
+    if interp_impl == "mxu":
         pblk = 2048
         n_pb = (P + pblk - 1) // pblk
         ppad = n_pb * pblk - P

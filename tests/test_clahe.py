@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from cell_image_analysis_tpu.ops.clahe import clahe_cells
 from cell_image_analysis_tpu.ops.oracle.clahe_np import (
@@ -51,8 +52,10 @@ def test_clahe_uint16_vs_float_invariance(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_clahe_mxu_impl_matches_scatter(rng):
-    # both implementations must agree bit-for-bit on the quantized path
+@pytest.mark.parametrize("impl", ["mxu", "scatter+mxu", "mxu+scatter"])
+def test_clahe_impl_combos_match_scatter(rng, impl):
+    # every hist/interp implementation combo must agree bit-for-bit on the
+    # quantized path
     from cell_image_analysis_tpu.ops.clahe import clahe_cells as cc
     import jax.numpy as jnp2
 
@@ -67,7 +70,7 @@ def test_clahe_mxu_impl_matches_scatter(rng):
     a = np.asarray(cc(jnp2.asarray(crops), jnp2.asarray(np.array(hs, np.int32)),
                       jnp2.asarray(np.array(ws, np.int32)), impl="scatter"))
     b = np.asarray(cc(jnp2.asarray(crops), jnp2.asarray(np.array(hs, np.int32)),
-                      jnp2.asarray(np.array(ws, np.int32)), impl="mxu"))
+                      jnp2.asarray(np.array(ws, np.int32)), impl=impl))
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
