@@ -56,6 +56,12 @@ def _clip_histogram(hist: jax.Array, clim: jax.Array, nbins: int) -> jax.Array:
     hist = jnp.where(mid, clim, hist)
 
     bin_ids = jnp.arange(nbins, dtype=jnp.int32)
+    # rank = inclusive prefix count of eligible bins, as an f32 triangular
+    # matmul instead of cumsum: ranks <= nbins are exact in f32, and the MXU
+    # beats the log-depth cumsum lowering inside the vmapped while_loop
+    # (~5.5 ms/batch on the bench workload; int16 state measured no better —
+    # scripts/probe_chunk_body.py cl=rankmm/cl=clip16/cl=rk+i16)
+    L = jnp.tril(jnp.ones((nbins, nbins), jnp.float32))
 
     def cond(state):
         h, ne, added = state
@@ -65,7 +71,7 @@ def _clip_histogram(hist: jax.Array, clim: jax.Array, nbins: int) -> jax.Array:
         h, ne, _ = state
         step = jnp.maximum(1, nbins // jnp.maximum(ne, 1))
         eligible = (h < clim) & (bin_ids % step == 0)
-        rank = jnp.cumsum(eligible.astype(jnp.int32))
+        rank = (eligible.astype(jnp.float32) @ L.T).astype(jnp.int32)
         add = eligible & (rank <= ne)
         h = h + add.astype(jnp.int32)
         n_added = jnp.sum(add.astype(jnp.int32))

@@ -443,19 +443,51 @@ def score_frames_fused(
     B must be a multiple of the mesh size.
 
     Numerically identical to `score_frames` (same kernels, same order)."""
-    D = _FUSED_D
-    ccap = candidate_kwargs.get("cell_capacity", 512)
+    return score_frames_fused_wait(score_frames_fused_start(
+        model, params, segs, greens, segment_fn, chunk=chunk, caps=caps,
+        min_votes=min_votes, out_size=out_size, clip_limit=clip_limit,
+        mesh=mesh, fallback_segment_fn=fallback_segment_fn,
+        **candidate_kwargs,
+    ))
+
+
+def score_frames_fused_start(
+    model: CAE,
+    params: ScoringParams,
+    segs: jax.Array,
+    greens: jax.Array,
+    segment_fn,
+    chunk: int = 256,
+    caps: tuple = (64, 96),
+    min_votes: int = 2,
+    out_size: int = 64,
+    clip_limit: float = 0.02,
+    mesh=None,
+    fallback_segment_fn=None,
+    **candidate_kwargs,
+) -> dict:
+    """Dispatch half of `score_frames_fused`: enqueues the fused batch graph
+    (JAX dispatch is asynchronous, so the device starts immediately) and
+    returns a pending handle WITHOUT fetching.  Pass the handle to
+    `score_frames_fused_wait` to fetch + decode.  A caller screening many
+    batches can overlap batch k's ~35 ms host fetch with batch k+1's device
+    compute by starting k+1 before waiting on k (utils/bench.py,
+    pipeline/screening.py)."""
     ckw = tuple(sorted(candidate_kwargs.items()))
     B = int(segs.shape[0])
-    segs0, greens0 = segs, greens
-
+    pend = dict(
+        model=model, params=params, segs0=segs, greens0=greens,
+        segment_fn=segment_fn, chunk=chunk, caps=caps, min_votes=min_votes,
+        out_size=out_size, clip_limit=clip_limit, mesh=mesh,
+        fallback_segment_fn=fallback_segment_fn,
+        candidate_kwargs=candidate_kwargs,
+    )
     if mesh is None:
-        flat = np.asarray(_fused_screen_graph(
+        pend["flat_dev"] = _fused_screen_graph(
             model, params, segs, greens, segment_fn, chunk, tuple(caps),
             min_votes, out_size, clip_limit, ckw,
-        ))  # ONE dispatch, ONE fetch
-        shards = [(flat, 0)]
-        b_local = B
+        )  # ONE dispatch; the fetch happens in _wait
+        pend["b_local"] = B
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -472,12 +504,31 @@ def score_frames_fused(
         segs = jax.device_put(segs, NamedSharding(mesh, P("data", None, None)))
         greens = jax.device_put(greens, NamedSharding(mesh, P("data", None, None)))
         params = jax.device_put(params, NamedSharding(mesh, P()))
-        flat2 = np.asarray(_fused_screen_graph_mesh(
+        pend["flat_dev"] = _fused_screen_graph_mesh(
             model, params, segs, greens, segment_fn, chunk, tuple(caps),
             min_votes, out_size, clip_limit, ckw, mesh,
-        ))  # (nd, per_shard); still ONE dispatch + ONE fetch
-        b_local = B // nd
-        shards = [(flat2[s], s * b_local) for s in range(nd)]
+        )  # (nd, per_shard); still ONE dispatch
+        pend["b_local"] = B // nd
+    return pend
+
+
+def score_frames_fused_wait(pend: dict) -> tuple:
+    """Fetch + decode half of `score_frames_fused` (ONE consolidated host
+    fetch per batch; run-table-overflow fallback re-runs synchronously)."""
+    D = _FUSED_D
+    candidate_kwargs = pend["candidate_kwargs"]
+    ccap = candidate_kwargs.get("cell_capacity", 512)
+    b_local = pend["b_local"]
+    model, params = pend["model"], pend["params"]
+    segs0, greens0 = pend["segs0"], pend["greens0"]
+    fallback_segment_fn = pend["fallback_segment_fn"]
+    mesh = pend["mesh"]
+
+    fetched = np.asarray(pend["flat_dev"])  # ONE fetch
+    if mesh is None:
+        shards = [(fetched, 0)]
+    else:
+        shards = [(fetched[s], s * b_local) for s in range(fetched.shape[0])]
 
     n_local = b_local * ccap
     if fallback_segment_fn is not None and any(
@@ -486,9 +537,10 @@ def score_frames_fused(
     ):
         # run-table overflow in the mask path: redo with the exact label path
         return score_frames_fused(
-            model, params, segs0, greens0, fallback_segment_fn, chunk=chunk,
-            caps=caps, min_votes=min_votes, out_size=out_size,
-            clip_limit=clip_limit, mesh=mesh, **candidate_kwargs,
+            model, params, segs0, greens0, fallback_segment_fn,
+            chunk=pend["chunk"], caps=pend["caps"],
+            min_votes=pend["min_votes"], out_size=pend["out_size"],
+            clip_limit=pend["clip_limit"], mesh=mesh, **candidate_kwargs,
         )
     rows_parts, stat_parts = [], []
     for flat, frame0 in shards:

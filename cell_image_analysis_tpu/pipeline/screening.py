@@ -138,7 +138,10 @@ class ProductionMutantScreening:
 
         Returns (scores dict, per-file cell counts, per-file mean
         intensities)."""
-        from cell_image_analysis_tpu.pipeline.scoring import score_frames_fused
+        from cell_image_analysis_tpu.pipeline.scoring import (
+            score_frames_fused_start,
+            score_frames_fused_wait,
+        )
 
         cfg = self.config
         # threshold backend provably bounds foreground at
@@ -155,13 +158,29 @@ class ProductionMutantScreening:
         all_scores: list = []
         all_stats: list = []
 
+        # One batch stays in flight: flush() only *dispatches* (JAX dispatch
+        # is async), and the previous batch's host fetch happens while the
+        # new one computes on device — hides the ~35 ms/batch fetch floor on
+        # multi-batch samples.
+        in_flight: list = []
+
+        def drain():
+            pend, idxs = in_flight.pop(0)
+            with self.timer.stage("score_frames"):
+                scores, stats = score_frames_fused_wait(pend)
+            if scores:
+                stats = dict(stats)
+                stats["file_index"] = np.array(idxs)[stats["frame_index"]]
+                all_scores.append(scores)
+                all_stats.append(stats)
+
         def flush():
             if not pend_frames:
                 return
             segs = jnp.asarray(np.stack([f[0] for f in pend_frames]).astype(np.float32))
             greens = jnp.asarray(np.stack([f[1] for f in pend_frames]).astype(np.float32))
             with self.timer.stage("score_frames"):
-                scores, stats = score_frames_fused(
+                pend = score_frames_fused_start(
                     self.model, self.scoring_params, segs, greens,
                     self._segment_mask or self._segment,
                     fallback_segment_fn=(
@@ -182,13 +201,11 @@ class ProductionMutantScreening:
                     min_mean_intensity=cfg.qc.min_mean_intensity,
                     min_std_intensity=cfg.qc.min_std_intensity,
                 )
-            if scores:
-                stats = dict(stats)
-                stats["file_index"] = np.array(pend_idx)[stats["frame_index"]]
-                all_scores.append(scores)
-                all_stats.append(stats)
+            in_flight.append((pend, list(pend_idx)))
             pend_frames.clear()
             pend_idx.clear()
+            while len(in_flight) > 1:
+                drain()
 
         stream = FrameStream(tif_files)
         for path, seg, green in stream:
@@ -200,6 +217,8 @@ class ProductionMutantScreening:
             if len(pend_frames) >= batch_max:
                 flush()
         flush()
+        while in_flight:
+            drain()
         for path, err in stream.errors:
             print(f"Error processing {path}: {err}")
 

@@ -95,6 +95,11 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
     from cell_image_analysis_tpu.pipeline.scoring import score_frames, score_frames_fused
 
+    from cell_image_analysis_tpu.pipeline.scoring import (
+        score_frames_fused_start,
+        score_frames_fused_wait,
+    )
+
     fn = score_frames_fused if fused else score_frames
 
     # chunk/caps tuned on-chip (BENCH.md): small chunks + tight size buckets
@@ -105,15 +110,31 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
     kw = dict(chunk=32, caps=(64, 96)) if fused else dict(chunk=256)
     kw["fg_fraction"] = 0.12
 
+    full_kw = dict(fallback_segment_fn=threshold_segment,
+                   label_capacity=4096, cell_capacity=128, **kw)
+
     def run(segs, greens):
         scores, stats = fn(
-            model, params, segs, greens, _threshold_mask_fn,
-            fallback_segment_fn=threshold_segment,
-            label_capacity=4096, cell_capacity=128, **kw,
+            model, params, segs, greens, _threshold_mask_fn, **full_kw,
         )
         return len(stats["area"]), scores
 
-    return run
+    def run_stream(batches):
+        """Pipelined: dispatch every batch up front (async), fetch in order —
+        batch k's ~35 ms host fetch overlaps batch k+1's device compute,
+        exactly as pipeline/screening.py does in production."""
+        pendings = [
+            score_frames_fused_start(model, params, s, g, _threshold_mask_fn,
+                                     **full_kw)
+            for s, g in batches
+        ]
+        total = 0
+        for pend in pendings:
+            scores, stats = score_frames_fused_wait(pend)
+            total += len(stats["area"])
+        return total
+
+    return run, run_stream
 
 
 def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
@@ -123,7 +144,7 @@ def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
 
     model, params, _ = _fit_params()
     frames = _make_frames(n_frames, size, n_cells)
-    run = _batch_pipeline(model, params, frame_batch, fused=fused)
+    run, run_stream = _batch_pipeline(model, params, frame_batch, fused=fused)
 
     stack = np.stack(frames)
     segs = jnp.asarray(stack[..., 2].astype(np.float32))
@@ -137,13 +158,17 @@ def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
     run(*batches[0])
     run(*batches[0])
 
+    pipelined = fused and len(batches) > 1
     best = None
     for _ in range(2):  # best-of-2 damps tunnel-latency variance
         t0 = time.perf_counter()
-        total = 0
-        for s, g in batches:
-            n, scores = run(s, g)
-            total += n
+        if pipelined:
+            total = run_stream(batches)
+        else:
+            total = 0
+            for s, g in batches:
+                n, scores = run(s, g)
+                total += n
         dt = time.perf_counter() - t0
         if best is None or total / dt > best["cells_per_sec"]:
             best = dict(cells=total, seconds=dt, cells_per_sec=total / dt,
@@ -218,7 +243,10 @@ def load_cpu_baseline() -> float | None:
     return None
 
 
-def run_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80) -> str:
+def run_bench(n_frames: int = 24, size: int = 1024, n_cells: int = 80) -> str:
+    """Headline bench: 3 pipelined batches of 8 frames — steady-state
+    multi-batch screening throughput (per-batch fetch hidden behind the next
+    batch's compute, as in production pipeline/screening.py)."""
     res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells)
     base = load_cpu_baseline()
     vs = res["cells_per_sec"] / base if base else None

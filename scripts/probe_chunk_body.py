@@ -191,10 +191,144 @@ def _make_noclip_variant():
 
 VARIANTS["C"] = ("cl=noclip", _make_noclip_variant)  # callable: built on demand
 
+
+def _clip_rankmm(hist, clim, nbins):
+    """Exact _clip_histogram with the per-iteration cumsum replaced by a
+    lower-triangular ones matmul (rank = eligible @ L^T, counts <= 256
+    exact in f32) — MXU instead of the log-depth cumsum lowering."""
+    L = jnp.tril(jnp.ones((nbins, nbins), jnp.float32))
+    excess = jnp.where(hist > clim, hist - clim, 0)
+    n_excess = jnp.sum(excess)
+    hist = jnp.minimum(hist, clim)
+    bin_incr = n_excess // nbins
+    upper = clim - bin_incr
+    low = hist < upper
+    n_excess = n_excess - jnp.sum(low) * bin_incr
+    hist = jnp.where(low, hist + bin_incr, hist)
+    mid = (hist >= upper) & (hist < clim)
+    n_excess = n_excess + jnp.sum(jnp.where(mid, hist - clim, 0))
+    hist = jnp.where(mid, clim, hist)
+    bin_ids = jnp.arange(nbins, dtype=jnp.int32)
+
+    def cond(state):
+        h, ne, added = state
+        return (ne > 0) & (added > 0)
+
+    def body(state):
+        h, ne, _ = state
+        step = jnp.maximum(1, nbins // jnp.maximum(ne, 1))
+        eligible = (h < clim) & (bin_ids % step == 0)
+        rank = (eligible.astype(jnp.float32) @ L.T).astype(jnp.int32)
+        add = eligible & (rank <= ne)
+        h = h + add.astype(jnp.int32)
+        n_added = jnp.sum(add.astype(jnp.int32))
+        return h, ne - n_added, n_added
+
+    added0 = jnp.maximum(jnp.int32(1), n_excess * 0)
+    hist, _, _ = jax.lax.while_loop(cond, body, (hist, n_excess, added0))
+    return hist
+
+
+def _clip_i16(hist, clim, nbins):
+    """Exact _clip_histogram carried in int16 (all values <= 576 < 2^15)."""
+    i16 = jnp.int16
+    hist16 = hist.astype(i16)
+    clim16 = clim.astype(i16)
+    excess = jnp.where(hist16 > clim16, hist16 - clim16, i16(0))
+    n_excess = jnp.sum(excess.astype(jnp.int32)).astype(i16)
+    hist16 = jnp.minimum(hist16, clim16)
+    bin_incr = (n_excess.astype(jnp.int32) // nbins).astype(i16)
+    upper = clim16 - bin_incr
+    low = hist16 < upper
+    n_excess = n_excess - (jnp.sum(low.astype(jnp.int32)) * bin_incr.astype(jnp.int32)).astype(i16)
+    hist16 = jnp.where(low, hist16 + bin_incr, hist16)
+    mid = (hist16 >= upper) & (hist16 < clim16)
+    n_excess = n_excess + jnp.sum(jnp.where(mid, hist16 - clim16, i16(0)).astype(jnp.int32)).astype(i16)
+    hist16 = jnp.where(mid, clim16, hist16)
+    bin_ids = jnp.arange(nbins, dtype=jnp.int32)
+
+    def cond(state):
+        h, ne, added = state
+        return (ne > 0) & (added > 0)
+
+    def body(state):
+        h, ne, _ = state
+        step = jnp.maximum(1, nbins // jnp.maximum(ne.astype(jnp.int32), 1))
+        eligible = (h < clim16) & (bin_ids % step == 0)
+        rank = jnp.cumsum(eligible.astype(i16))
+        add = eligible & (rank <= ne)
+        h = h + add.astype(i16)
+        n_added = jnp.sum(add.astype(jnp.int32)).astype(i16)
+        return h, ne - n_added, n_added
+
+    added0 = jnp.maximum(i16(1), n_excess * i16(0))
+    hist16, _, _ = jax.lax.while_loop(cond, body, (hist16, n_excess, added0))
+    return hist16.astype(jnp.int32)
+
+
+def _make_clip_variant(clip_fn):
+    def build():
+        from cell_image_analysis_tpu.ops import clahe as _clahe_mod
+
+        orig = _clahe_mod._clip_histogram
+        _clahe_mod._clip_histogram = clip_fn
+        try:
+            fn = jax.jit(make_loop(make_impl_body("mxu")))
+            float(fn().sum())
+        finally:
+            _clahe_mod._clip_histogram = orig
+        return fn
+
+    return build
+
+
+def _clip_i16_rankmm(hist, clim, nbins):
+    """Exact _clip_histogram in int16 with the rank cumsum as an f32
+    triangular matmul (both transformations independently verified exact)."""
+    i16 = jnp.int16
+    L = jnp.tril(jnp.ones((nbins, nbins), jnp.float32))
+    hist16 = hist.astype(i16)
+    clim16 = clim.astype(i16)
+    excess = jnp.where(hist16 > clim16, hist16 - clim16, i16(0))
+    n_excess = jnp.sum(excess.astype(jnp.int32)).astype(i16)
+    hist16 = jnp.minimum(hist16, clim16)
+    bin_incr = (n_excess.astype(jnp.int32) // nbins).astype(i16)
+    upper = clim16 - bin_incr
+    low = hist16 < upper
+    n_excess = n_excess - (jnp.sum(low.astype(jnp.int32)) * bin_incr.astype(jnp.int32)).astype(i16)
+    hist16 = jnp.where(low, hist16 + bin_incr, hist16)
+    mid = (hist16 >= upper) & (hist16 < clim16)
+    n_excess = n_excess + jnp.sum(jnp.where(mid, hist16 - clim16, i16(0)).astype(jnp.int32)).astype(i16)
+    hist16 = jnp.where(mid, clim16, hist16)
+    bin_ids = jnp.arange(nbins, dtype=jnp.int32)
+
+    def cond(state):
+        h, ne, added = state
+        return (ne > 0) & (added > 0)
+
+    def body(state):
+        h, ne, _ = state
+        step = jnp.maximum(1, nbins // jnp.maximum(ne.astype(jnp.int32), 1))
+        eligible = (h < clim16) & (bin_ids % step == 0)
+        rank = (eligible.astype(jnp.float32) @ L.T).astype(i16)
+        add = eligible & (rank <= ne)
+        h = h + add.astype(i16)
+        n_added = jnp.sum(add.astype(jnp.int32)).astype(i16)
+        return h, ne - n_added, n_added
+
+    added0 = jnp.maximum(i16(1), n_excess * i16(0))
+    hist16, _, _ = jax.lax.while_loop(cond, body, (hist16, n_excess, added0))
+    return hist16.astype(jnp.int32)
+
+
+VARIANTS["R"] = ("cl=rankmm", _make_clip_variant(_clip_rankmm))
+VARIANTS["H"] = ("cl=clip16", _make_clip_variant(_clip_i16))
+VARIANTS["B"] = ("cl=rk+i16", _make_clip_variant(_clip_i16_rankmm))
+
 which = sys.argv[1] if len(sys.argv) > 1 else "fncrsg"
 for k in which:
     name, fn = VARIANTS[k]
-    if k == "C":
+    if k in "CRHB":
         t0 = time.perf_counter()
         fn = fn()  # builds + compiles under the monkeypatch
         print(f"{name}: build+compile {time.perf_counter()-t0:.1f} s", flush=True)
