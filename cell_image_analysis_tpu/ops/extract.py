@@ -265,7 +265,7 @@ def extract_candidates_from_mask(
     max_eccentricity: float = 0.95,
     min_mean_intensity: float = 0.5,
     min_std_intensity: float = 0.1,
-    rcap: int = 64,
+    rcap: int = 32,
     connectivity: int = 1,
 ) -> tuple[Candidates, jax.Array]:
     """Stage A from a boolean foreground mask via the run-length path
@@ -278,6 +278,11 @@ def extract_candidates_from_mask(
     Returns (Candidates, overflow); `overflow` (device bool) is True when
     some row had more than `rcap` runs — results are then untrustworthy and
     callers must fall back to the exact label-map path (extract_candidates).
+
+    rcap=32 default: the hook-CC overlap tensors scale with rcap^2 and the
+    run-table top_k with rcap, while measured plates peak at 13 runs/row
+    even at 5x the bench cell density (post-opening runs are >=3 px); the
+    overflow->fallback contract covers anything denser.
     """
     props, overflow = regionprops_from_mask(
         mask, capacity=label_capacity, rcap=rcap, connectivity=connectivity
