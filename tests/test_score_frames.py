@@ -134,3 +134,38 @@ def test_score_frames_fused_empty(rng):
     scores, stats = score_frames_fused(model, params, segs, greens,
                                        threshold_segment, chunk=8, cell_capacity=32)
     assert scores == {} and len(stats["area"]) == 0
+
+
+def test_score_frames_fused_start_wait_pipelined(rng):
+    # two batches dispatched before either is waited on (the production
+    # pipelining pattern in pipeline/screening.py and utils/bench.py) must
+    # reproduce the sequential results exactly, in order
+    from cell_image_analysis_tpu.pipeline.scoring import (
+        score_frames_fused_start,
+        score_frames_fused_wait,
+    )
+
+    model, params, _, _ = _fitted_params(rng, n_train=120)
+    frames = [make_frame(rng, size=256, n_cells=8) for _ in range(4)]
+    batches = []
+    for i in (0, 2):
+        segs = jnp.asarray(np.stack([f[..., 2] for f in frames[i : i + 2]]).astype(np.float32))
+        greens = jnp.asarray(np.stack([f[..., 1] for f in frames[i : i + 2]]).astype(np.float32))
+        batches.append((segs, greens))
+
+    kw = dict(chunk=8, cell_capacity=32)
+    refs = [score_frames_fused(model, params, s, g, threshold_segment, **kw)
+            for s, g in batches]
+
+    pends = [score_frames_fused_start(model, params, s, g, threshold_segment, **kw)
+             for s, g in batches]
+    gots = [score_frames_fused_wait(p) for p in pends]
+
+    for (ref, ref_stats), (got, got_stats) in zip(refs, gots):
+        assert len(got_stats["area"]) == len(ref_stats["area"]) > 0
+        np.testing.assert_array_equal(got_stats["area"], ref_stats["area"])
+        for k in ref:
+            if k.endswith("_rate"):
+                assert got[k] == ref[k], k
+            else:
+                np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
