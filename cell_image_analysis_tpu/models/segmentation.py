@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from cell_image_analysis_tpu.config import SegConfig
 from cell_image_analysis_tpu.ops.cc import label_components
-from cell_image_analysis_tpu.ops.percentile import normalize_percentile, percentile
+from cell_image_analysis_tpu.ops.percentile import kth_smallest, percentile_ranks
 
 
 def binary_opening(mask: jax.Array, iterations: int = 1) -> jax.Array:
@@ -70,9 +70,27 @@ def threshold_mask(
     """The threshold backend up to (but not including) labeling: percentile-
     normalize, threshold, denoise (binary opening).  The production screening
     path consumes this boolean mask directly through the run-length
-    regionprops (ops/runs.py) and never materializes a label map."""
-    norm = normalize_percentile(seg_channel, pmin=pmin, pmax=pmax)
-    thresh = percentile(norm, threshold_percentile)
+    regionprops (ops/runs.py) and never materializes a label map.
+
+    All three percentiles (pmin/pmax for the csbdeep normalization and the
+    threshold) come from ONE set of sort-free order-statistic selections on
+    the raw channel (ops/percentile.kth_smallest): the normalization is a
+    monotone affine map, so the threshold percentile of the *normalized*
+    array is that same map applied to the raw order statistics — this
+    replaced two full 1M-element sorts per frame (~28 ms/8-frame batch,
+    scripts/probe_percentile.py)."""
+    x = seg_channel.astype(jnp.float32)
+    eps = 1e-20
+    rk = percentile_ranks(x.size, (pmin, pmax, threshold_percentile))
+    ks = tuple(k for r in rk for k in r[:2])
+    v = kth_smallest(x, ks)
+    lerp = lambda i: v[2 * i] * (1.0 - jnp.float32(rk[i][2])) + v[2 * i + 1] * jnp.float32(rk[i][2])
+    lo = lerp(0)
+    hi = lerp(1)
+    scale = hi - lo + eps
+    norm = (x - lo) / scale
+    g = lambda t: (t - lo) / scale
+    thresh = g(v[4]) * (1.0 - jnp.float32(rk[2][2])) + g(v[5]) * jnp.float32(rk[2][2])
     mask = norm > thresh
     if opening:
         mask = binary_opening(mask)

@@ -10,9 +10,14 @@ on:
   RobustScaler (median/IQR) and report percentiles
   (CAE_improved_modeltrain.py:352,467-469) are bit-comparable.
 
-Percentiles are computed with a full sort: XLA lowers `jax.lax.sort` to an
-efficient on-device bitonic sort, and the arrays here (frames up to 4096^2,
-feature matrices ~N x 2048) are comfortably HBM-resident.
+Two strategies:
+- `percentile` (generic, any q / axis): full `jnp.sort` — fine for feature
+  matrices (~N x 2048) and report statistics.
+- `percentile_select` / `kth_smallest` (static q, flat): exact order
+  statistics via 32-step bisection on the order-preserving uint32 mapping —
+  NO sort.  For frame-sized arrays the two 1M-element sorts in the
+  segmentation threshold were ~28 ms of an 8-frame batch; the counting
+  passes are at the measurement floor (scripts/probe_percentile.py).
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("axis",))
@@ -103,3 +109,74 @@ def masked_percentile(x: jax.Array, mask: jax.Array, q) -> jax.Array:
     hi = jnp.ceil(idx).astype(jnp.int32)
     frac = idx - lo.astype(jnp.float32)
     return xs[lo] * (1.0 - frac) + xs[hi] * frac
+
+
+def _float_to_ordered_u32(x: jax.Array) -> jax.Array:
+    """Order-preserving bijection float32 -> uint32 (IEEE total order for
+    non-NaN values): the k-th smallest uint corresponds to the k-th smallest
+    float, so selection can run in integer space."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.where(b >> 31 == 0, b | jnp.uint32(0x80000000), ~b)
+
+
+def _ordered_u32_to_float(u: jax.Array) -> jax.Array:
+    b = jnp.where(u >> 31 == 1, u & jnp.uint32(0x7FFFFFFF), ~u)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def kth_smallest(x: jax.Array, ks: tuple) -> jax.Array:
+    """Exact k-th smallest elements (0-based ranks `ks`, static) of the
+    flattened float32 array, WITHOUT sorting: 32-step bisection on the
+    order-preserving uint32 mapping, counting all ranks in one fused pass
+    per step.  Identical to `jnp.sort(x.ravel())[list(ks)]` for non-NaN
+    data, and ~sort-cost/20 on TPU for frame-sized arrays (a 1024^2 sort is
+    ~18 ms vs ~2 ms of counting passes; scripts/probe_percentile.py)."""
+    u = _float_to_ordered_u32(x.reshape(-1).astype(jnp.float32))
+    karr = jnp.asarray(ks, jnp.uint32)[:, None]
+    # derive the initial bounds from data (always zero) so their type is
+    # device-varying under shard_map, matching the loop body's outputs
+    z = u[0] & jnp.uint32(0)
+    lo = jnp.zeros((len(ks), 1), jnp.uint32) + z
+    hi = jnp.full((len(ks), 1), jnp.uint32(0xFFFFFFFF)) - z
+
+    def step(_, state):
+        lo, hi = state
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((u[None, :] <= mid).astype(jnp.uint32), axis=1, keepdims=True)
+        take_lo = cnt > karr  # the k-th (0-based) element is <= mid
+        return jnp.where(take_lo, lo, mid + 1), jnp.where(take_lo, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(0, 32, step, (lo, hi))
+    return _ordered_u32_to_float(lo[:, 0])
+
+
+def percentile_ranks(n: int, qs: tuple) -> list:
+    """(k_lo, k_hi, frac) triples of numpy's linear-interpolation percentile
+    for a length-n array, one per q."""
+    out = []
+    for q in qs:
+        # python float64 index arithmetic — numpy.percentile's own semantics
+        # (the sort-based `percentile` computes the index in traced f32,
+        # which XLA may also refold; static f64 ranks are both closer to
+        # numpy and stable across backends/compilers)
+        idx = q / 100.0 * (n - 1)
+        k_lo = int(np.floor(idx))
+        k_hi = int(np.ceil(idx))
+        out.append((k_lo, k_hi, np.float32(idx - k_lo)))
+    return out
+
+
+@partial(jax.jit, static_argnames=("qs",))
+def percentile_select(x: jax.Array, qs: tuple) -> jax.Array:
+    """`percentile(x, list(qs))` (numpy linear interpolation) computed via
+    `kth_smallest` instead of a full sort — same order statistics with f64
+    (numpy-semantics) index arithmetic, much cheaper for frame-sized
+    arrays."""
+    rk = percentile_ranks(x.size, qs)
+    ks = tuple(k for r in rk for k in r[:2])
+    vals = kth_smallest(x, ks)
+    out = []
+    for i, (_, _, frac) in enumerate(rk):
+        vlo, vhi = vals[2 * i], vals[2 * i + 1]
+        out.append(vlo * (1.0 - jnp.float32(frac)) + vhi * jnp.float32(frac))
+    return jnp.stack(out)
