@@ -70,9 +70,13 @@ def normalize_percentile(
 
     Reference call sites: CAE_improved_modeltrain.py:53,
     improved_detection.py:62 (`normalize(seg_channel)` before StarDist).
+
+    Uses the sort-free selection path (frame-sized arrays are the common
+    input here; a 1024^2 sort costs ~18 ms on TPU, the counting passes are
+    at the measurement floor).
     """
     x = x.astype(jnp.float32)
-    lohi = percentile(x, jnp.array([pmin, pmax], dtype=jnp.float32))
+    lohi = percentile_select(x, (float(pmin), float(pmax)))
     lo, hi = lohi[0], lohi[1]
     return (x - lo) / (hi - lo + eps)
 

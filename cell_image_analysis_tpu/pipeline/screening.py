@@ -151,7 +151,7 @@ class ProductionMutantScreening:
             fg_fraction = min(0.25, (100.0 - cfg.seg.threshold_percentile) / 100.0 + 0.02)
         else:
             fg_fraction = 0.25
-        batch_max = 8
+        batch_max = 16  # measured throughput sweet spot (BENCH.md)
         frame_names: list = []
         pend_frames: list = []
         pend_idx: list = []

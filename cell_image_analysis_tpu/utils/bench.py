@@ -107,7 +107,13 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
     # fg_fraction=0.12 is safe by construction for the threshold backend:
     # a 90th-percentile threshold bounds foreground at 10% and the opening
     # only shrinks it (it only gates the fallback label path's compaction).
-    kw = dict(chunk=32, caps=(64, 96)) if fused else dict(chunk=256)
+    if fused:
+        # env overrides for on-chip tuning sweeps (scripts/ probes)
+        chunk = int(os.environ.get("CIA_BENCH_CHUNK", "32"))
+        caps = tuple(int(c) for c in os.environ.get("CIA_BENCH_CAPS", "64,96").split(","))
+        kw = dict(chunk=chunk, caps=caps)
+    else:
+        kw = dict(chunk=256)
     kw["fg_fraction"] = 0.12
 
     full_kw = dict(fallback_segment_fn=threshold_segment,
@@ -243,11 +249,13 @@ def load_cpu_baseline() -> float | None:
     return None
 
 
-def run_bench(n_frames: int = 24, size: int = 1024, n_cells: int = 80) -> str:
-    """Headline bench: 3 pipelined batches of 8 frames — steady-state
+def run_bench(n_frames: int = 48, size: int = 1024, n_cells: int = 80) -> str:
+    """Headline bench: 3 pipelined batches of 16 frames — steady-state
     multi-batch screening throughput (per-batch fetch hidden behind the next
-    batch's compute, as in production pipeline/screening.py)."""
-    res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells)
+    batch's compute, as in production pipeline/screening.py; frame_batch=16
+    measured best: 8 -> 16 is +12.6%, 16 -> 32 only +3.4% more)."""
+    res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells,
+                        frame_batch=16)
     base = load_cpu_baseline()
     vs = res["cells_per_sec"] / base if base else None
     out = {
