@@ -228,14 +228,20 @@ def _clahe_one(
         def interp_step(_, args):
             ct, cw, b = args                 # (4, pblk), (4, pblk), (pblk,)
             Bm = (b[:, None] == bin_ids2[None, :]).astype(jnp.float32)
+            # D[p, t] = maps[t, bin(p)] — ONE matmul shared by all four
+            # corners (the old per-corner rows = T_c @ maps spent 4x the
+            # MXU FLOPs computing all 256 bins per pixel to use one).  Each
+            # corner is then a cheap one-hot contraction over tiles.  Both
+            # forms select exact f32 table entries, so this is
+            # bit-identical.
+            D = jax.lax.dot_general(
+                Bm, maps_f, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                # (pblk, n_tiles)
             vals = 0.0
             for c in range(4):
-                T = (ct[c][:, None] == tile_ids[None, :]).astype(jnp.bfloat16)
-                rows = jax.lax.dot_general(
-                    T, maps_f, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                            # (pblk, nbins)
-                picked = jnp.sum(rows * Bm, axis=-1)
+                T = (ct[c][:, None] == tile_ids[None, :]).astype(jnp.float32)
+                picked = jnp.sum(T * D, axis=-1)
                 vals = vals + cw[c] * picked
             return None, vals
 
