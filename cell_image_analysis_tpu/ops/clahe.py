@@ -11,14 +11,19 @@ Static-shape strategy (SURVEY.md "hard parts"):
 - tile kernel k = max(1, side // 8) is *data-dependent*; the contextual-region
   grid (ns = ceil(side/k) <= 16 for any side) lives in a fixed 16x16 tile
   capacity with validity masking;
-- per-tile histograms are built with one segment-sum over a fixed "virtual"
-  pixel grid (capacity + max kernel) whose indices reflect-fold into the
-  actual crop, reproducing skimage's reflect padding without materializing it;
+- the "virtual" pixel grid (capacity + max kernel) reflect-folds into the
+  actual crop, reproducing skimage's reflect padding; on the MXU path the
+  fold itself is two exact 0/1 reflection matmuls (R_y @ binned @ R_x^T) —
+  vmapped 2D gathers lower to scalar loops on TPU (BENCH.md);
+- per-tile histograms, the reflect fold, and the mapping interpolation are
+  all one-hot MXU matmuls on the TPU path ("mxu"), with an exact
+  segment-sum/gather twin ("scatter") for CPU; every combination is
+  bit-identical;
 - Zuiderveld clip/redistribute runs as a vmapped `lax.while_loop` whose
   residual-spread passes are the vectorized equivalent of the oracle's
-  step-walk;
-- the final mapping interpolation is 4 gathers per pixel from the
-  (16*16, nbins) mapping table with edge-clamped tile indices.
+  step-walk (prefix ranks via a triangular-ones matmul);
+- interpolation computes D[p, t] = maps[t, bin(p)] once per block and
+  contracts each of the 4 edge-clamped corner one-hots against it.
 """
 
 from __future__ import annotations
@@ -30,6 +35,12 @@ import jax.numpy as jnp
 
 NR_OF_GRAY = 2 ** 14
 NS_CAP = 16  # >= ceil(side / max(1, side//8)) for every side >= 1
+# Tighter capacity when every side >= 16 (then k = side//8 >= 2 and
+# ns = ceil(side/k) <= 8 + ceil(7/k) <= 12): the clip state and the
+# interpolation D matrix scale with ns_cap^2 / ns_cap, so the production
+# chunk loop routes min-side >= 16 cells through ns_cap=12 buckets
+# (pipeline/scoring.py) — numerics are capacity-independent.
+NS_CAP_16PX = 12
 
 
 def _reflect(idx: jax.Array, n: jax.Array) -> jax.Array:
@@ -105,6 +116,7 @@ def _clahe_one(
     grid: int,
     vcap: int,
     impl: str = "scatter",
+    ns_cap: int = NS_CAP,
 ) -> jax.Array:
     cap = crop.shape[0]
     ys = jnp.arange(cap)
@@ -126,13 +138,15 @@ def _clahe_one(
     ns_w = (w + kw - 1) // kw
 
     # 2. Per-tile histograms over the virtual (reflect-folded) grid.
-    # impl="mxu": block-scanned one-hot matmuls — hist = T^T @ B with
+    # hist_impl="mxu": block-scanned one-hot matmuls — hist = T^T @ B with
     # T (block, n_tiles) and B (block, nbins) exact 0/1 bf16 one-hots and
-    # float32 accumulation (counts < 2^24, so exact); measured ~5x faster
-    # than the scatter path on TPU.  impl="scatter": segment-sum — faster on
-    # CPU, where XLA matmuls don't pay off.
+    # float32 accumulation (counts < 2^24, so exact); measured far faster
+    # than the scatter path on TPU (BENCH.md in-loop sweep).
+    # hist_impl="scatter": segment-sum — faster on CPU, where XLA matmuls
+    # don't pay off.
     hist_impl, interp_impl = _split_impl(impl)
-    n_tiles = NS_CAP * NS_CAP
+    # caller contract: ns_h, ns_w <= ns_cap for every (h, w) routed here
+    n_tiles = ns_cap * ns_cap
     yv = jnp.arange(vcap)
     ty = yv[:, None] // kh
     tx = yv[None, :] // kw
@@ -149,7 +163,7 @@ def _clahe_one(
         src = jnp.round(Ry @ binned.astype(jnp.float32) @ Rx.T).astype(jnp.int32)
     else:
         src = binned[_reflect(yv, h)[:, None], _reflect(yv, w)[None, :]]
-    tile_flat = (ty * NS_CAP + tx).reshape(-1)
+    tile_flat = (ty * ns_cap + tx).reshape(-1)
     bin_flat = src.reshape(-1)
     valid_flat = vvalid.reshape(-1)
 
@@ -211,7 +225,7 @@ def _clahe_one(
         for ex in (0, 1):
             mx = jnp.clip(ptx - 1 + ex, 0, ns_w - 1)
             wx = cx if ex else 1.0 - cx
-            corner_tiles.append((my * NS_CAP + mx).reshape(-1))
+            corner_tiles.append((my * ns_cap + mx).reshape(-1))
             corner_w.append((wy * wx).reshape(-1))
     corner_tiles = jnp.stack(corner_tiles)   # (4, P)
     corner_w = jnp.stack(corner_w)           # (4, P)
@@ -263,7 +277,7 @@ def _clahe_one(
     return jnp.where(valid, (out - lo2) * scale2, 0.0)
 
 
-@partial(jax.jit, static_argnames=("clip_limit", "nbins", "grid", "impl"))
+@partial(jax.jit, static_argnames=("clip_limit", "nbins", "grid", "impl", "ns_cap"))
 def clahe_cells(
     crops: jax.Array,
     heights: jax.Array,
@@ -272,6 +286,7 @@ def clahe_cells(
     nbins: int = 256,
     grid: int = 8,
     impl: str = "auto",
+    ns_cap: int = NS_CAP,
 ) -> jax.Array:
     """Batched CLAHE over capacity-padded crops.
 
@@ -292,7 +307,7 @@ def clahe_cells(
     vcap = cap + max(1, cap // grid)  # covers ceil(s/k)*k <= s + k - 1
     if impl == "pallas":
         return _clahe_cells_pallas(crops, heights, widths, clip_limit, nbins, grid, vcap)
-    fn = lambda c, h, w: _clahe_one(c, h, w, clip_limit, nbins, grid, vcap, impl)
+    fn = lambda c, h, w: _clahe_one(c, h, w, clip_limit, nbins, grid, vcap, impl, ns_cap)
     return jax.vmap(fn)(crops, heights, widths)
 
 

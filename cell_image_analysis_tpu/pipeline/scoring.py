@@ -305,7 +305,13 @@ def _fused_screen_local(model, params, segs, greens, segment_fn, chunk,
 
     # size buckets: CLAHE/resize cost scales with the padded cap^2, so each
     # cell runs at the tightest capacity that fits it (numerics-neutral —
-    # the kernels mask by actual h/w)
+    # the kernels mask by actual h/w).  Each cap additionally splits by
+    # min side: cells with min(h, w) >= 16 have a CLAHE tile grid ns <= 12
+    # (ops/clahe.NS_CAP_16PX), shrinking the clip state and interpolation
+    # matrices ~1.8x; the rare thin cells route through the full 16-tile
+    # capacity.  Also numerics-neutral (capacity only pads layout).
+    from cell_image_analysis_tpu.ops.clahe import NS_CAP, NS_CAP_16PX
+
     all_caps = tuple(c for c in sorted(caps) if c < full_cap) + (full_cap,)
     pad_len = (-(-N // chunk)) * chunk
 
@@ -314,25 +320,32 @@ def _fused_screen_local(model, params, segs, greens, segment_fn, chunk,
         idx = jnp.pad(idx, (0, pad_len - N), constant_values=N)
         return idx, jnp.sum(mask.astype(jnp.int32))
 
+    # ns <= 12 per axis iff side >= 16 (k >= 2) or side <= 12 (k = 1);
+    # sides 13-15 give ns = 13-15.  Cells with such a side are rare, so
+    # they ride the final full-capacity bucket (NS_CAP=16) instead of
+    # doubling the bucket count (a split-per-cap variant measured slower:
+    # more loop bodies + tail padding).
+    ns_ok = ((heights >= 16) | (heights <= 12)) & ((widths >= 16) | (widths <= 12))
     buckets = []
     fits_prev = jnp.zeros_like(valid)
-    for cap_b in all_caps:
-        fits = (heights <= cap_b) & (widths <= cap_b)
-        buckets.append(bucket(valid & fits & ~fits_prev) + (cap_b,))
+    for cap_b in all_caps[:-1]:
+        fits = (heights <= cap_b) & (widths <= cap_b) & ns_ok
+        buckets.append(bucket(valid & fits & ~fits_prev) + (cap_b, NS_CAP_16PX))
         fits_prev = fits
+    buckets.append(bucket(valid & ~fits_prev) + (all_caps[-1], NS_CAP))
 
     out = jnp.zeros((N + 1, _FUSED_D), jnp.float32)  # row N = scrap for tails
     if vary_axis is not None:
         out = jax.lax.pvary(out, vary_axis)
 
-    def run_bucket(out, idx_arr, n, cap_b):
+    def run_bucket(out, idx_arr, n, cap_b, ns_cap):
         def body(i, out):
             ids = jax.lax.dynamic_slice(idx_arr, (i * chunk,), (chunk,))
             ids_c = jnp.minimum(ids, N - 1)
             c = crops[ids_c][:, :cap_b, :cap_b]
             h = heights[ids_c]
             w = widths[ids_c]
-            eq = clahe_cells(c, h, w, clip_limit=clip_limit)
+            eq = clahe_cells(c, h, w, clip_limit=clip_limit, ns_cap=ns_cap)
             cells = resize_cells(eq, h, w, out_size=out_size)
             s = score_cells(model, params, cells[..., None], min_votes=min_votes)
             row = jnp.concatenate(
@@ -352,8 +365,8 @@ def _fused_screen_local(model, params, segs, greens, segment_fn, chunk,
 
         return jax.lax.fori_loop(0, (n + chunk - 1) // chunk, body, out)
 
-    for idx_arr, n, cap_b in buckets:
-        out = run_bucket(out, idx_arr, n, cap_b)
+    for idx_arr, n, cap_b, ns_cap in buckets:
+        out = run_bucket(out, idx_arr, n, cap_b, ns_cap)
     # one flat buffer so the host needs a single fetch for everything
     return jnp.concatenate([out.reshape(-1), packed_stats.reshape(-1)])
 

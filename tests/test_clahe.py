@@ -111,3 +111,24 @@ def test_clahe_enhances_local_contrast(rng):
     dim_half = out[:, :24]
     minmax_span = (im[:, :24].max() - im[:, :24].min()) / (im.max() - im.min())
     assert dim_half.max() - dim_half.min() > 1.5 * minmax_span
+
+
+def test_clahe_ns_cap_12_matches_16_for_min_side_16(rng):
+    # tile-grid capacity is layout only: for cells with min side >= 16
+    # (ns <= 12), ns_cap=12 must reproduce ns_cap=16 bit-for-bit
+    from cell_image_analysis_tpu.ops.clahe import clahe_cells as cc
+
+    sizes = [(16, 23), (17, 64), (33, 47), (64, 64), (23, 16)]
+    cap = 64
+    crops = np.zeros((len(sizes), cap, cap), np.float32)
+    hs, ws = [], []
+    for i, (h, w) in enumerate(sizes):
+        crops[i, :h, :w] = (rng.uniform(size=(h, w)) * 3000).astype(np.float32)
+        hs.append(h)
+        ws.append(w)
+    args = (jnp.asarray(crops), jnp.asarray(np.array(hs, np.int32)),
+            jnp.asarray(np.array(ws, np.int32)))
+    for impl in ("scatter", "mxu"):
+        a = np.asarray(cc(*args, impl=impl, ns_cap=16))
+        b = np.asarray(cc(*args, impl=impl, ns_cap=12))
+        np.testing.assert_array_equal(a, b, err_msg=impl)
