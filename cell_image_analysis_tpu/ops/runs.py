@@ -11,9 +11,11 @@ foreground-pixel compaction + scatter segment reductions in regionprops
   CC domain: two runs in adjacent rows are pixel-connected iff their column
   intervals overlap (touch, for 8-connectivity), so CC is neighbor-min "hook"
   iterations over `[H, RCAP, RCAP]` overlap tests — small fused elementwise
-  passes (~1 MB of parent state vs ~34 MB per pixel sweep) — accelerated by a
-  pointer-double (`p = p[p]`) per round, which makes label distance travel
-  multiplicative (measured 64-88 hook-only rounds -> 20).
+  passes (~1 MB of parent state vs ~34 MB per pixel sweep).  A per-round
+  pointer-double (`p = p[p]`) is available via `jump=True` (cuts hook rounds
+  64-88 -> 20) but measured SLOWER end-to-end on this TPU — the table
+  gathers cost more than the extra hook rounds (BENCH.md: 46.6 vs 78.8 ms,
+  re-measured 33.0 vs 46.9) — so production call sites keep jump=False.
 - Region moments are closed-form per run (arithmetic-series sums), so the
   segment reductions run over H*RCAP run slots instead of fg-compacted
   pixels, and the instance label map is never materialized.
@@ -51,8 +53,9 @@ class RunTable(NamedTuple):
 
     Slot (r, j) is the j-th foreground run of row r (ascending column).
     Invalid slots have start=W (sentinel past any column) and end=0, which
-    makes every interval-overlap test against them false without extra
-    masking."""
+    makes 4-connectivity overlap tests against them false; 8-connectivity
+    (touch, d=1) additionally masks with slot validity in cc_runs — the
+    sentinel alone passes the touch test against a full-width run."""
 
     start: jax.Array     # (H, RCAP) int32 first column; W where unused
     end: jax.Array       # (H, RCAP) int32 one-past-last column; 0 where unused
@@ -137,9 +140,18 @@ def cc_runs(
     e_up = _shift_rows(end, -1, 0)
     s_dn = _shift_rows(start, 1, 1 << 20)
     e_dn = _shift_rows(end, 1, 0)
-    # interval overlap (touch for 8-conn); invalid sentinels fail both tests
+    # interval overlap (touch for 8-conn).  The invalid-slot sentinel
+    # (start=W, end=0) fails both tests at d=0, but at d=1 it passes them
+    # against a full-width neighbor run (W < W+1 and 0 < 0+1), which would
+    # let an invalid slot acquire a parent and relay labels across an
+    # all-background row — so overlap is additionally masked with the
+    # validity of both endpoints.
+    v_up = _shift_rows(valid, -1, False)
+    v_dn = _shift_rows(valid, 1, False)
     ov_up = (start[:, :, None] < e_up[:, None, :] + d) & (s_up[:, None, :] < end[:, :, None] + d)
     ov_dn = (start[:, :, None] < e_dn[:, None, :] + d) & (s_dn[:, None, :] < end[:, :, None] + d)
+    ov_up &= valid[:, :, None] & v_up[:, None, :]
+    ov_dn &= valid[:, :, None] & v_dn[:, None, :]
 
     def cond(st):
         return st[1]

@@ -18,6 +18,8 @@ Output conventions match the reference exactly:
 
 from __future__ import annotations
 
+import warnings
+
 from functools import partial
 from typing import NamedTuple
 
@@ -164,12 +166,20 @@ def score_frames(
     heights = heights.reshape(-1)
     widths = widths.reshape(-1)
     st = np.asarray(packed_stats)  # (B, 9, cap) — ONE transfer
-    if st[:, 8].max() > 0.5 and fallback_segment_fn is not None:
-        # run-table overflow: results untrustworthy, redo exactly
-        return score_frames(
-            model, params, segs0, greens0, fallback_segment_fn, chunk=chunk,
-            small_cap=small_cap, min_votes=min_votes, out_size=out_size,
-            clip_limit=clip_limit, mesh=mesh, **candidate_kwargs,
+    if st[:, 8].max() > 0.5:
+        if fallback_segment_fn is not None:
+            # run-table overflow: results untrustworthy, redo exactly
+            return score_frames(
+                model, params, segs0, greens0, fallback_segment_fn, chunk=chunk,
+                small_cap=small_cap, min_votes=min_votes, out_size=out_size,
+                clip_limit=clip_limit, mesh=mesh, **candidate_kwargs,
+            )
+        warnings.warn(
+            "score_frames: run-table capacity overflow with no "
+            "fallback_segment_fn — candidate extraction may have dropped or "
+            "corrupted cells; pass fallback_segment_fn or raise rcap",
+            RuntimeWarning,
+            stacklevel=2,
         )
     valid = st[:, 0].reshape(-1) > 0.5
     hs = st[:, 1].reshape(-1).astype(np.int32)
@@ -544,16 +554,24 @@ def score_frames_fused_wait(pend: dict) -> tuple:
         shards = [(fetched[s], s * b_local) for s in range(fetched.shape[0])]
 
     n_local = b_local * ccap
-    if fallback_segment_fn is not None and any(
+    if any(
         flat[(n_local + 1) * D :].reshape(b_local, _N_STAT_ROWS, ccap)[:, 8].max() > 0.5
         for flat, _ in shards
     ):
-        # run-table overflow in the mask path: redo with the exact label path
-        return score_frames_fused(
-            model, params, segs0, greens0, fallback_segment_fn,
-            chunk=pend["chunk"], caps=pend["caps"],
-            min_votes=pend["min_votes"], out_size=pend["out_size"],
-            clip_limit=pend["clip_limit"], mesh=mesh, **candidate_kwargs,
+        if fallback_segment_fn is not None:
+            # run-table overflow in the mask path: redo with the exact label path
+            return score_frames_fused(
+                model, params, segs0, greens0, fallback_segment_fn,
+                chunk=pend["chunk"], caps=pend["caps"],
+                min_votes=pend["min_votes"], out_size=pend["out_size"],
+                clip_limit=pend["clip_limit"], mesh=mesh, **candidate_kwargs,
+            )
+        warnings.warn(
+            "score_frames_fused: run-table capacity overflow with no "
+            "fallback_segment_fn — candidate extraction may have dropped or "
+            "corrupted cells; pass fallback_segment_fn or raise rcap",
+            RuntimeWarning,
+            stacklevel=2,
         )
     rows_parts, stat_parts = [], []
     for flat, frame0 in shards:

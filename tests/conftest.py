@@ -32,6 +32,30 @@ assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full profile; also CIA_FULL_TESTS=1)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy end-to-end / training / mesh tests, skipped by default; "
+        "run with --runslow or CIA_FULL_TESTS=1 (do this before committing)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("CIA_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow or CIA_FULL_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -1,5 +1,6 @@
 """CAE model + trainer: shapes, Keras-parity details, learning smoke test."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,7 @@ def test_augment_identity_when_disabled(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(rng):
     cells = _cells(rng, n=96)
     tc = TrainConfig(epochs=8, batch_size=32)
@@ -78,6 +80,7 @@ def test_training_reduces_loss(rng):
     assert mse.shape == (16,) and float(mse.mean()) < 0.15  # smoke threshold
 
 
+@pytest.mark.slow
 def test_early_stopping_and_lr_schedule(rng):
     # with a tiny dataset and many epochs, early stopping must trigger and
     # the lr must decay by the plateau schedule

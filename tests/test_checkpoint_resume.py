@@ -1,5 +1,6 @@
 """Training checkpoint/resume: interrupted run continues deterministically."""
 
+import pytest
 import numpy as np
 
 from cell_image_analysis_tpu.config import TrainConfig
@@ -7,6 +8,7 @@ from cell_image_analysis_tpu.train.trainer import fit_cae
 from tests.test_cae_training import _cells
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path, rng):
     cells = _cells(rng, n=64)
     full_cfg = TrainConfig(epochs=6, batch_size=32)

@@ -113,6 +113,7 @@ def test_clahe_enhances_local_contrast(rng):
     assert dim_half.max() - dim_half.min() > 1.5 * minmax_span
 
 
+@pytest.mark.slow
 def test_clahe_ns_cap_12_matches_16_for_min_side_16(rng):
     # tile-grid capacity is layout only: for cells with min side >= 16
     # (ns <= 12), ns_cap=12 must reproduce ns_cap=16 bit-for-bit

@@ -11,6 +11,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e module (70s session fixture)
+
 from cell_image_analysis_tpu.config import (
     OUTPUT_FILES_SCREENING,
     OUTPUT_FILES_TRAINING,

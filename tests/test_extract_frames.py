@@ -1,5 +1,6 @@
 """Batched multi-frame extraction equals per-frame extraction."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -8,6 +9,7 @@ from cell_image_analysis_tpu.ops.extract import extract_cells_chunked, extract_c
 from cell_image_analysis_tpu.utils.synthetic import make_frame
 
 
+@pytest.mark.slow
 def test_batched_frames_equal_per_frame(rng):
     frames = [make_frame(rng, size=256, n_cells=8) for _ in range(3)]
     segs = jnp.asarray(np.stack([f[..., 2] for f in frames]).astype(np.float32))

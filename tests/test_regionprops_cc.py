@@ -1,5 +1,6 @@
 """Device regionprops / connected components vs scipy + numpy oracles."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 from scipy import ndimage as ndi
@@ -30,6 +31,7 @@ def test_label_components_matches_scipy(rng):
     np.testing.assert_array_equal(ours, ref)
 
 
+@pytest.mark.slow
 def test_label_components_impls_agree(rng):
     # the scan (run-min) and sweep (min-propagation) bodies reach the same
     # fixpoint, incl. serpentine components that need many passes

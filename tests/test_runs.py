@@ -103,6 +103,32 @@ def test_labels_from_mask_noise_and_serpentine(rng):
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+def test_labels_from_mask_conn2_full_width_rows(rng):
+    # Regression: at connectivity=2 the invalid-slot sentinel (start=W,
+    # end=0) passes the touch test against a full-width run, which let an
+    # invalid slot acquire a parent and relay labels across an
+    # all-background row — merging two separate full-width components.
+    mask = np.zeros((5, 32), bool)
+    mask[1, :] = True
+    mask[3, :] = True
+    got, count, ov = labels_from_mask(jnp.asarray(mask), rcap=8, connectivity=2)
+    assert not bool(ov)
+    ref, ref_count = ndi.label(mask, structure=np.ones((3, 3), bool))
+    assert int(count) == ref_count == 2
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+    # same shape but with random partial rows mixed in
+    mask = np.asarray(rng.random((64, 64)) < 0.45)
+    mask[10, :] = True
+    mask[12, :] = True
+    mask[11, :] = False
+    got, count, ov = labels_from_mask(jnp.asarray(mask), rcap=64, connectivity=2)
+    assert not bool(ov)
+    ref, ref_count = ndi.label(mask, structure=np.ones((3, 3), bool))
+    assert int(count) == ref_count
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 def test_cc_runs_no_jump_agrees(rng):
     mask = _blob_image(rng, h=128, w=128, n=8)
     t = run_table(jnp.asarray(mask), rcap=64)

@@ -1,5 +1,6 @@
 """Device-resident frame screening equals the stagewise path."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ from cell_image_analysis_tpu.utils.synthetic import make_frame
 from tests.test_scoring import _fitted_params
 
 
+@pytest.mark.slow
 def test_score_frames_matches_stagewise(rng):
     model, params, _, _ = _fitted_params(rng, n_train=120)
     frames = [make_frame(rng, size=256, n_cells=8) for _ in range(3)]
@@ -41,6 +43,7 @@ def test_score_frames_matches_stagewise(rng):
     assert scores["conservative_anomaly_rate"] == ref["conservative_anomaly_rate"]
 
 
+@pytest.mark.slow
 def test_score_frames_fused_matches_chunked(rng):
     # the single-dispatch fori_loop graph must reproduce the host-chunked
     # path exactly (same kernels, same pool order), incl. bucket tails
@@ -71,6 +74,7 @@ def _threshold_mask_fn(s):
 _threshold_mask_fn.returns_mask = True
 
 
+@pytest.mark.slow
 def test_score_frames_fused_mask_path_matches_label_path(rng):
     # the production run-length path (mask segment_fn -> ops/runs.py CC +
     # regionprops, no label map) must reproduce the exact pixel path:
@@ -100,6 +104,7 @@ def test_score_frames_fused_mask_path_matches_label_path(rng):
             np.testing.assert_allclose(got[k], ref[k], atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_score_frames_mask_overflow_falls_back(rng):
     # a mask with > rcap runs in a row must trip the overflow flag and
     # reroute through the exact label path, reproducing it bit-for-bit
@@ -127,6 +132,7 @@ def test_score_frames_mask_overflow_falls_back(rng):
             np.testing.assert_allclose(got[k], ref[k], atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_score_frames_fused_empty(rng):
     model, params, _, _ = _fitted_params(rng, n_train=120)
     segs = jnp.zeros((2, 256, 256), jnp.float32)

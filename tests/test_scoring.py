@@ -1,5 +1,6 @@
 """FFT features, ensemble combiner, and the fused scoring graph."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -81,6 +82,7 @@ def _fitted_params(rng, n_train=300):
     return model, params, (scaler, pca, cons, mod), X
 
 
+@pytest.mark.slow
 def test_score_cells_matches_stagewise_pipeline(rng):
     model, params, (scaler, pca, cons, mod), X = _fitted_params(rng)
     scores = compute_anomaly_scores(model, params, X[:64])
@@ -98,6 +100,7 @@ def test_score_cells_matches_stagewise_pipeline(rng):
     assert 0.0 <= scores["conservative_anomaly_rate"] <= 1.0
 
 
+@pytest.mark.slow
 def test_training_set_rates_approximate_nu(rng):
     model, params, _, X = _fitted_params(rng, n_train=500)
     scores = compute_anomaly_scores(model, params, X)

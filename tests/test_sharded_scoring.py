@@ -1,5 +1,6 @@
 """Sharded scoring equals single-device scoring bit-for-bit (SURVEY.md §4)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def test_sharded_scoring_matches_single_device(rng):
     assert r1 == r2
 
 
+@pytest.mark.slow
 def test_score_frames_sharded_matches_unsharded(rng):
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
     from cell_image_analysis_tpu.pipeline.scoring import score_frames
@@ -59,6 +61,7 @@ def test_score_frames_sharded_matches_unsharded(rng):
     assert ref["moderate_anomaly_rate"] == out["moderate_anomaly_rate"]
 
 
+@pytest.mark.slow
 def test_score_frames_fused_sharded_matches_unsharded(rng):
     # the mesh path of the fused single-dispatch graph (shard_map over
     # 'data', whole body per shard) must equal the single-device fused path

@@ -4,6 +4,7 @@ SURVEY.md section 4: "multi-chip tests via 8-device CPU simulation asserting
 sharded anomaly rates equal single-device rates bit-for-bit after psum."
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ from cell_image_analysis_tpu.parallel.tiling import tiled_extract_cells
 from cell_image_analysis_tpu.utils.synthetic import make_frame
 
 
+@pytest.mark.slow
 def test_tiled_extraction_matches_single_device(rng):
     mesh = make_mesh(8)
     frame = make_frame(rng, size=512, n_cells=30, seed=5) if False else make_frame(rng, size=512, n_cells=30)
