@@ -23,4 +23,13 @@ jaxcache.enable()
 from cell_image_analysis_tpu.utils.bench import run_bench
 
 if __name__ == "__main__":
-    print(run_bench())
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", choices=["threshold", "stardist"],
+                    default="threshold",
+                    help="segmentation backend to bench: threshold (headline)"
+                         " or stardist (the reference's U-Net->NMS stack,"
+                         " vs its own CPU_BASELINE_STARDIST.json)")
+    args = ap.parse_args()
+    print(run_bench(backend=args.backend))

@@ -94,9 +94,21 @@ def main(argv=None):
     config = _apply_overrides(PipelineConfig(), args)
     unet_variables = None
     if args.unet_weights:
-        from cell_image_analysis_tpu.io.artifacts import load_cae  # generic pytree loader
+        import pickle
 
-        unet_variables = load_cae(args.unet_weights)[1]
+        with open(args.unet_weights, "rb") as f:
+            payload = pickle.load(f)
+        magic = payload.get("magic", "") if isinstance(payload, dict) else ""
+        if magic == "cell_image_analysis_tpu/unet-synthetic-v1":
+            # scripts/make_unet_weights.py artifact: bare conv params
+            import jax.numpy as jnp
+            import jax
+
+            unet_variables = {"params": jax.tree.map(jnp.asarray, payload["params"])}
+        else:
+            from cell_image_analysis_tpu.io.artifacts import load_cae  # generic pytree loader
+
+            unet_variables = load_cae(args.unet_weights)[1]
     mesh = None
     if args.mesh:
         from cell_image_analysis_tpu.parallel.mesh import make_mesh

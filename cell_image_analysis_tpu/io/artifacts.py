@@ -12,6 +12,13 @@ while storing its native formats inside: model files hold pickled numpy
 pytrees + architecture metadata; .pkl files hold this framework's fitted
 estimator dataclasses.  An additional `ensemble.json` records the ensemble
 vote threshold (a capability the reference claims but does not implement).
+Loading sniffs per-file magic and also accepts REAL reference artifacts
+(genuine Keras models, sklearn pickles) via io/keras_interop.
+
+Security note: like the reference (improved_detection.py:33-41), loading
+uses `pickle.load`, which executes code from the file — only load artifact
+directories you trust; the magic/type checks guard against accidents, not
+malicious pickles.
 """
 
 from __future__ import annotations
@@ -107,13 +114,32 @@ def save_training_artifacts(
 def load_screening_artifacts(model_dir: str):
     """Load everything screening needs (improved_detection.py:23-46 parity).
 
+    Accepts both this framework's native artifacts and REAL reference
+    artifacts (genuine Keras `.keras`/`.h5` models, sklearn pickles) — the
+    format is sniffed per file and converted via io/keras_interop, so a
+    model directory trained by the reference screens directly.
+
     Returns (model, variables, scaler, pca, detectors, ensemble)."""
-    model, variables = load_cae(os.path.join(model_dir, C.ARTIFACT_BEST_AUTOENCODER))
-    scaler: RobustScaler = _load_pickle(os.path.join(model_dir, C.ARTIFACT_SCALER))
-    pca: PCA = _load_pickle(os.path.join(model_dir, C.ARTIFACT_PCA))
+    from cell_image_analysis_tpu.io.keras_interop import (
+        _is_keras_file,
+        _maybe_convert,
+        load_keras_cae,
+    )
+
+    cae_path = os.path.join(model_dir, C.ARTIFACT_BEST_AUTOENCODER)
+    if _is_keras_file(cae_path):
+        model, variables = load_keras_cae(cae_path)
+    else:
+        model, variables = load_cae(cae_path)
+
+    def _load_est(path):
+        return _maybe_convert(_load_pickle(path))
+
+    scaler: RobustScaler = _load_est(os.path.join(model_dir, C.ARTIFACT_SCALER))
+    pca: PCA = _load_est(os.path.join(model_dir, C.ARTIFACT_PCA))
     detectors = {
-        "Conservative": _load_pickle(os.path.join(model_dir, C.ARTIFACT_DETECTOR_CONSERVATIVE)),
-        "Moderate": _load_pickle(os.path.join(model_dir, C.ARTIFACT_DETECTOR_MODERATE)),
+        "Conservative": _load_est(os.path.join(model_dir, C.ARTIFACT_DETECTOR_CONSERVATIVE)),
+        "Moderate": _load_est(os.path.join(model_dir, C.ARTIFACT_DETECTOR_MODERATE)),
     }
     ens_path = os.path.join(model_dir, "ensemble.json")
     ensemble = None

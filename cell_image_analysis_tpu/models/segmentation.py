@@ -116,6 +116,43 @@ def threshold_segment(
     return labels
 
 
+class StarDistBackend:
+    """Identity-stable label-map segment_fn for the scoring graphs: the full
+    StarDist `predict_instances` chain (percentile normalize -> U-Net ->
+    top-K candidates -> star-polygon NMS -> rasterize) per frame, traced
+    under vmap by pipeline/scoring._stage_a_graph.
+
+    The scoring graphs jit-cache on segment_fn *identity* — hold ONE
+    instance per set of weights (a fresh instance per batch would re-trace
+    and re-fetch the remote compile every batch).  The U-Net weights are
+    captured as trace constants, which is correct for screening (weights are
+    fixed for the run) and lets XLA constant-fold layout conversions.
+
+    Reference: improved_detection.py:62-63 (`predict_instances` on the
+    normalized segmentation channel)."""
+
+    returns_mask = False
+
+    def __init__(self, variables: dict, cfg: SegConfig = SegConfig(), model=None):
+        from cell_image_analysis_tpu.models.unet import StarDistUNet
+
+        self.cfg = cfg
+        self.variables = variables
+        self.model = model or StarDistUNet(
+            n_rays=cfg.n_rays, depth=cfg.unet_depth,
+            base_filters=cfg.base_filters, head_filters=cfg.head_filters,
+            grid=cfg.grid,
+        )
+
+    def __call__(self, seg_channel: jax.Array) -> jax.Array:
+        from cell_image_analysis_tpu.models.stardist import predict_instances
+
+        labels, _ = predict_instances(
+            seg_channel, self.variables, self.cfg, model=self.model
+        )
+        return labels
+
+
 def segment_frame(seg_channel: jax.Array, cfg: SegConfig = SegConfig(), unet_variables=None) -> jax.Array:
     """Dispatch on cfg.backend."""
     if cfg.backend == "threshold" or unet_variables is None:

@@ -21,10 +21,12 @@ import time
 
 import numpy as np
 
-_BASELINE_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "CPU_BASELINE.json",
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+_BASELINE_PATH = os.path.join(_REPO_ROOT, "CPU_BASELINE.json")
+_BASELINE_STARDIST_PATH = os.path.join(_REPO_ROOT, "CPU_BASELINE_STARDIST.json")
+_UNET_WEIGHTS_PATH = os.path.join(_REPO_ROOT, "assets", "unet_synthetic.pkl")
 
 
 def _make_frames(n_frames: int, size: int, n_cells: int, seed: int = 7):
@@ -86,7 +88,42 @@ def _threshold_mask_fn(s):
 _threshold_mask_fn.returns_mask = True
 
 
-def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
+def load_synthetic_unet_variables() -> dict:
+    """Committed in-framework-trained U-Net weights for the StarDist backend
+    (scripts/make_unet_weights.py — the no-network stand-in for the
+    reference's downloaded `2D_versatile_fluo`)."""
+    import pickle
+
+    import jax.numpy as jnp
+    import jax
+
+    with open(_UNET_WEIGHTS_PATH, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("magic") != "cell_image_analysis_tpu/unet-synthetic-v1":
+        raise ValueError(f"{_UNET_WEIGHTS_PATH}: unexpected payload")
+    return {"params": jax.tree.map(jnp.asarray, payload["params"])}
+
+
+_STARDIST_BACKENDS: dict = {}
+
+
+def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
+                     prob_thresh: float | None = None):
+    """Identity-stable StarDistBackend over the committed synthetic weights
+    (the scoring graphs jit-cache on segment_fn identity)."""
+    from cell_image_analysis_tpu.config import SegConfig
+    from cell_image_analysis_tpu.models.segmentation import StarDistBackend
+
+    kw = {} if prob_thresh is None else {"prob_thresh": prob_thresh}
+    key = (max_candidates, raster_patch, prob_thresh)
+    if key not in _STARDIST_BACKENDS:
+        cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch, **kw)
+        _STARDIST_BACKENDS[key] = StarDistBackend(load_synthetic_unet_variables(), cfg)
+    return _STARDIST_BACKENDS[key]
+
+
+def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True,
+                    backend: str = "threshold"):
     """The production path: device-resident frame screening — vmapped
     segmentation+candidates (run-length stage A with exact label-path
     fallback on run-table overflow), fused gather+CLAHE+resize+scoring
@@ -114,14 +151,25 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
         kw = dict(chunk=chunk, caps=caps)
     else:
         kw = dict(chunk=256)
-    kw["fg_fraction"] = 0.12
 
-    full_kw = dict(fallback_segment_fn=threshold_segment,
-                   label_capacity=4096, cell_capacity=128, **kw)
+    if backend == "stardist":
+        # label-map path: StarDist predict_instances per frame; no run-table,
+        # so no fallback/fg_fraction knobs
+        segment_fn = stardist_backend(
+            max_candidates=int(os.environ.get("CIA_BENCH_SD_CAND", "256")),
+            raster_patch=int(os.environ.get("CIA_BENCH_SD_PATCH", "96")),
+        )
+        full_kw = dict(label_capacity=segment_fn.cfg.max_candidates,
+                       cell_capacity=128, **kw)
+    else:
+        segment_fn = _threshold_mask_fn
+        kw["fg_fraction"] = 0.12
+        full_kw = dict(fallback_segment_fn=threshold_segment,
+                       label_capacity=4096, cell_capacity=128, **kw)
 
     def run(segs, greens):
         scores, stats = fn(
-            model, params, segs, greens, _threshold_mask_fn, **full_kw,
+            model, params, segs, greens, segment_fn, **full_kw,
         )
         return len(stats["area"]), scores
 
@@ -130,7 +178,7 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
         batch k's ~35 ms host fetch overlaps batch k+1's device compute,
         exactly as pipeline/screening.py does in production."""
         pendings = [
-            score_frames_fused_start(model, params, s, g, _threshold_mask_fn,
+            score_frames_fused_start(model, params, s, g, segment_fn,
                                      **full_kw)
             for s, g in batches
         ]
@@ -144,13 +192,15 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True):
 
 
 def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
-                  frame_batch: int = 8, fused: bool = True) -> dict:
+                  frame_batch: int = 8, fused: bool = True,
+                  backend: str = "threshold") -> dict:
     import jax
     import jax.numpy as jnp
 
     model, params, _ = _fit_params()
     frames = _make_frames(n_frames, size, n_cells)
-    run, run_stream = _batch_pipeline(model, params, frame_batch, fused=fused)
+    run, run_stream = _batch_pipeline(model, params, frame_batch, fused=fused,
+                                      backend=backend)
 
     stack = np.stack(frames)
     segs = jnp.asarray(stack[..., 2].astype(np.float32))
@@ -182,9 +232,34 @@ def run_tpu_bench(n_frames: int = 8, size: int = 1024, n_cells: int = 80,
     return best
 
 
-def run_cpu_reference(n_frames: int = 2, size: int = 1024, n_cells: int = 80) -> dict:
+def _keras_unet_segment_cpu(size: int):
+    """The reference's actual segmentation stack on CPU: TF/Keras U-Net
+    forward (same weights as the TPU backend, via the Keras twin) + the
+    numpy NMS/rasterization oracle of StarDist's C++ post-processing."""
+    from cell_image_analysis_tpu.io.keras_interop import keras_unet_from_variables
+    from cell_image_analysis_tpu.ops.oracle.stardist_np import predict_instances_np
+
+    variables = load_synthetic_unet_variables()
+    km = keras_unet_from_variables(variables, input_size=size)
+
+    def segment(norm_seg: np.ndarray) -> np.ndarray:
+        prob, dist = km.predict(
+            norm_seg[None, :, :, None].astype(np.float32), verbose=0
+        )
+        labels, _ = predict_instances_np(
+            np.asarray(prob)[0, :, :, 0], np.asarray(dist)[0],
+            max_candidates=256,
+        )
+        return labels
+
+    return segment
+
+
+def run_cpu_reference(n_frames: int = 2, size: int = 1024, n_cells: int = 80,
+                      backend: str = "threshold") -> dict:
     """The same pipeline with the CPU oracle implementations (numpy/scipy/
-    sklearn) — the measured stand-in for the reference's CPU stack."""
+    sklearn; TF/Keras for the StarDist U-Net) — the measured stand-in for
+    the reference's CPU stack."""
     from scipy import ndimage as ndi
 
     from cell_image_analysis_tpu.ops.oracle.clahe_np import equalize_adapthist_np
@@ -201,6 +276,8 @@ def run_cpu_reference(n_frames: int = 2, size: int = 1024, n_cells: int = 80) ->
 
     model, params, host = _fit_params()
     frames = _make_frames(n_frames, size, n_cells)
+    stardist_segment = (_keras_unet_segment_cpu(size)
+                        if backend == "stardist" else None)
 
     import jax.numpy as jnp
     from cell_image_analysis_tpu.models.cae import encode, reconstruction_errors
@@ -212,9 +289,12 @@ def run_cpu_reference(n_frames: int = 2, size: int = 1024, n_cells: int = 80) ->
         green = f[..., 1].astype(np.float64)
         lo, hi = np.percentile(seg, 3), np.percentile(seg, 99.8)
         norm = (seg - lo) / (hi - lo + 1e-20)
-        thresh = np.percentile(norm, 90.0)
-        mask = ndi.binary_opening(norm > thresh)
-        labels, _ = ndi.label(mask)
+        if stardist_segment is not None:
+            labels = stardist_segment(norm)
+        else:
+            thresh = np.percentile(norm, 90.0)
+            mask = ndi.binary_opening(norm > thresh)
+            labels, _ = ndi.label(mask)
         h, w = labels.shape
         cells = []
         for p in regionprops_np(labels, green):
@@ -242,24 +322,31 @@ def run_cpu_reference(n_frames: int = 2, size: int = 1024, n_cells: int = 80) ->
     return dict(cells=total, seconds=dt, cells_per_sec=total / dt, n_frames=n_frames, size=size)
 
 
-def load_cpu_baseline() -> float | None:
-    if os.path.exists(_BASELINE_PATH):
-        with open(_BASELINE_PATH) as f:
+def load_cpu_baseline(backend: str = "threshold") -> float | None:
+    path = _BASELINE_STARDIST_PATH if backend == "stardist" else _BASELINE_PATH
+    if os.path.exists(path):
+        with open(path) as f:
             return json.load(f)["cells_per_sec"]
     return None
 
 
-def run_bench(n_frames: int = 48, size: int = 1024, n_cells: int = 80) -> str:
+def run_bench(n_frames: int = 48, size: int = 1024, n_cells: int = 80,
+              backend: str = "threshold") -> str:
     """Headline bench: 3 pipelined batches of 16 frames — steady-state
     multi-batch screening throughput (per-batch fetch hidden behind the next
     batch's compute, as in production pipeline/screening.py; frame_batch=16
-    measured best: 8 -> 16 is +12.6%, 16 -> 32 only +3.4% more)."""
+    measured best: 8 -> 16 is +12.6%, 16 -> 32 only +3.4% more).
+
+    backend="stardist" benches the reference's actual segmentation stack
+    (U-Net -> star NMS -> rasterize) against its own CPU baseline
+    (CPU_BASELINE_STARDIST.json: Keras-on-CPU forward + numpy NMS oracle)."""
     res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells,
-                        frame_batch=16)
-    base = load_cpu_baseline()
+                        frame_batch=16, backend=backend)
+    base = load_cpu_baseline(backend)
     vs = res["cells_per_sec"] / base if base else None
+    suffix = "_stardist" if backend == "stardist" else ""
     out = {
-        "metric": "screening_cells_per_sec_per_chip",
+        "metric": f"screening_cells_per_sec_per_chip{suffix}",
         "value": round(res["cells_per_sec"], 2),
         "unit": "cells/s/chip",
         "vs_baseline": round(vs, 2) if vs else None,

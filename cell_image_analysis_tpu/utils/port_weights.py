@@ -35,7 +35,10 @@ def load_keras_h5_weights(path: str) -> list[tuple[str, list[np.ndarray]]]:
         root = f["model_weights"] if "model_weights" in f else f
         names = root.attrs.get("layer_names")
         if names is None:
-            names = list(root.keys())
+            # no creation-order attr: fall back to natural-sorted group names
+            # (h5py iterates alphabetically, which misorders conv2d_10 vs
+            # conv2d_2)
+            names = sorted(root.keys(), key=_natural_key)
         for raw in names:
             name = raw.decode() if isinstance(raw, bytes) else str(raw)
             g = root[name]
@@ -58,6 +61,16 @@ def load_keras_h5_weights(path: str) -> list[tuple[str, list[np.ndarray]]]:
     return out
 
 
+def _natural_key(name: str):
+    """Sort key that orders trailing integers numerically: flax auto-names
+    submodules Conv_0..Conv_14, but tree flattening yields them in
+    *alphabetical* order (Conv_10 < Conv_2), which would mis-pair same-shaped
+    layers against a Keras file stored in creation order."""
+    import re
+
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
+
 def _flat_conv_params(params: dict) -> list[tuple[str, dict]]:
     """Flax conv param leaves ({kernel, bias}) in module-creation order."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -70,6 +83,7 @@ def _flat_conv_params(params: dict) -> list[tuple[str, dict]]:
             by_layer[layer] = {}
             order.append(layer)
         by_layer[layer][keys[-1]] = leaf
+    order.sort(key=_natural_key)
     return [(name, by_layer[name]) for name in order if "kernel" in by_layer[name]]
 
 

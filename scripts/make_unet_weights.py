@@ -1,0 +1,120 @@
+"""Train the StarDist-style U-Net on synthetic plates and commit the weights.
+
+The reference relies on downloading pretrained `2D_versatile_fluo`
+(CAE_improved_modeltrain.py:118); this environment has no network access, so
+the benchmarkable StarDist backend uses weights trained in-framework
+(train/unet_trainer.py) on the synthetic plate distribution used by the
+bench (utils/synthetic.make_frame).  Ground-truth instance labels come from
+the CPU threshold oracle (scipy label on the percentile-thresholded seg
+channel) — the blobs are well-separated, so this GT is clean.
+
+Writes assets/unet_synthetic.pkl: {'params': numpy pytree, 'meta': {...}}.
+Run on CPU (JAX pinned); takes a few minutes.
+
+Usage: python scripts/make_unet_weights.py [--epochs 400] [--frames 8]
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+if "--tpu" not in sys.argv:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from scipy import ndimage as ndi
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--tpu" in sys.argv:
+    from cell_image_analysis_tpu.utils import jaxcache
+    jaxcache.enable()
+
+from cell_image_analysis_tpu.train.unet_trainer import fit_unet
+from cell_image_analysis_tpu.utils.synthetic import make_frame
+
+
+def threshold_labels_np(seg: np.ndarray, threshold_percentile=90.0,
+                        pmin=3.0, pmax=99.8) -> np.ndarray:
+    """CPU oracle of the threshold backend: percentile-normalize, threshold,
+    binary opening, connected components (models/segmentation.py semantics)."""
+    x = seg.astype(np.float64)
+    lo, hi = np.percentile(x, pmin), np.percentile(x, pmax)
+    norm = (x - lo) / (hi - lo + 1e-20)
+    thresh = np.percentile(norm, threshold_percentile)
+    mask = ndi.binary_opening(norm > thresh)
+    labels, _ = ndi.label(mask)
+    return labels.astype(np.int32)
+
+
+def normalize_np(seg: np.ndarray, pmin=3.0, pmax=99.8) -> np.ndarray:
+    lo, hi = np.percentile(seg, pmin), np.percentile(seg, pmax)
+    return ((seg - lo) / (hi - lo + 1e-20)).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--tpu", action="store_true",
+                    help="train on the real chip (default: pinned CPU)")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "unet_synthetic.pkl"))
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(123)
+    # match the bench plate density: 80 cells / 1024^2 = 5 / 256^2; vary a bit
+    frames, labels = [], []
+    for i in range(args.frames):
+        n = int(rng.integers(4, 9))
+        f = make_frame(rng, size=args.size, n_cells=n)
+        seg = f[..., 2].astype(np.float64)
+        frames.append(normalize_np(seg))
+        labels.append(threshold_labels_np(seg))
+    print(f"training on {len(frames)} frames, "
+          f"{sum(int(l.max()) for l in labels)} instances total", flush=True)
+
+    model, variables = fit_unet(frames, labels, epochs=args.epochs, lr=3e-3,
+                                verbose=True)
+
+    # quick self-check: predict_instances on a fresh frame
+    import jax.numpy as jnp
+
+    from cell_image_analysis_tpu.config import SegConfig
+    from cell_image_analysis_tpu.models.stardist import predict_instances
+
+    f = make_frame(np.random.default_rng(999), size=args.size, n_cells=6)
+    cfg = SegConfig(max_candidates=256, raster_patch=96)
+    lab_pred, details = predict_instances(
+        jnp.asarray(f[..., 2].astype(np.float32)), variables, cfg)
+    lab_pred = np.asarray(lab_pred)
+    lab_true = threshold_labels_np(f[..., 2].astype(np.float64))
+    n_pred, n_true = int(lab_pred.max()), int(lab_true.max())
+    cover = ((lab_pred > 0) & (lab_true > 0)).sum() / max((lab_true > 0).sum(), 1)
+    print(f"self-check: {n_pred} predicted vs {n_true} true instances, "
+          f"fg coverage {cover:.2f}", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    payload = {
+        "magic": "cell_image_analysis_tpu/unet-synthetic-v1",
+        "params": jax.tree.map(np.asarray, variables["params"]),
+        "meta": {
+            "epochs": args.epochs, "frames": args.frames, "size": args.size,
+            "n_pred": n_pred, "n_true": n_true, "coverage": float(cover),
+        },
+    }
+    with open(args.out, "wb") as fh:
+        pickle.dump(payload, fh)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Decompose the StarDist backend's per-stage costs on TPU (cumulative
+stages, explicit host fetches — jax.block_until_ready does not sync through
+the tunnel).  Stages: U-Net forward -> +top-K candidates -> +NMS ->
++rasterize -> full stage A (extract_candidates) -> full fused screening.
+
+Usage: python scripts/probe_stardist.py [batch] [size]
+"""
+import sys, time
+
+sys.path.insert(0, ".")
+from cell_image_analysis_tpu.utils import jaxcache
+
+jaxcache.enable()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cell_image_analysis_tpu.config import SegConfig
+from cell_image_analysis_tpu.models.stardist import _pad_to_multiple
+from cell_image_analysis_tpu.models.unet import StarDistUNet
+from cell_image_analysis_tpu.ops.nms import star_nms
+from cell_image_analysis_tpu.ops.percentile import normalize_percentile
+from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons
+from cell_image_analysis_tpu.utils.bench import (
+    _fit_params,
+    _make_frames,
+    load_synthetic_unet_variables,
+    stardist_backend,
+)
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+
+frames = _make_frames(BATCH, SIZE, 80 * SIZE * SIZE // (1024 * 1024))
+stack = np.stack(frames)
+segs = jnp.asarray(stack[..., 2].astype(np.float32))
+greens = jnp.asarray(stack[..., 1].astype(np.float32))
+
+variables = load_synthetic_unet_variables()
+backend = stardist_backend()
+cfg = backend.cfg
+model = backend.model
+
+
+def t(name, fn, reps=3):
+    fn()
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name}: {best*1e3:8.1f} ms", flush=True)
+
+
+@jax.jit
+def s1_forward(segs):
+    def one(seg):
+        x = normalize_percentile(seg, cfg.norm_pmin, cfg.norm_pmax)
+        x = _pad_to_multiple(x, 2 ** cfg.unet_depth)
+        prob, dist = model.apply(variables, x[None, :, :, None], train=False)
+        return prob[0], dist[0]
+    return jax.vmap(one)(segs)
+
+
+@jax.jit
+def s2_candidates(segs):
+    prob, dist = s1_forward(segs)
+
+    def one(p, d):
+        hp, wp = p.shape
+        flat = p.reshape(-1)
+        top_p, top_i = jax.lax.top_k(flat, cfg.max_candidates)
+        valid = top_p > cfg.prob_thresh
+        rows = (top_i // wp).astype(jnp.float32) * cfg.grid[0]
+        cols = (top_i % wp).astype(jnp.float32) * cfg.grid[1]
+        centers = jnp.stack([rows, cols], axis=1)
+        cd = jnp.maximum(d.reshape(-1, d.shape[-1])[top_i], 1e-3)
+        return centers, cd, top_p, valid
+    return jax.vmap(one)(prob, dist)
+
+
+@jax.jit
+def s3_nms(segs):
+    centers, cd, top_p, valid = s2_candidates(segs)
+    keep = jax.vmap(lambda c, d, p, v: star_nms(
+        c, d, p, v, nms_thresh=cfg.nms_thresh, metric=cfg.nms_metric
+    ))(centers, cd, top_p, valid)
+    return centers, cd, top_p, keep
+
+
+@jax.jit
+def s4_raster(segs):
+    centers, cd, top_p, keep = s3_nms(segs)
+    labels = jax.vmap(lambda c, d, p, k: rasterize_polygons(
+        c, d, p, k, SIZE, SIZE, patch=cfg.raster_patch
+    ))(centers, cd, top_p, keep)
+    return labels
+
+
+@jax.jit
+def s5_stage_a(segs, greens):
+    from cell_image_analysis_tpu.ops.extract import extract_candidates
+
+    def one(seg, green):
+        lab = backend(seg)
+        return extract_candidates(lab, green,
+                                  label_capacity=cfg.max_candidates,
+                                  cell_capacity=128)
+    return jax.vmap(one)(segs, greens)
+
+
+print(f"probe_stardist: batch={BATCH} size={SIZE} "
+      f"max_candidates={cfg.max_candidates} patch={cfg.raster_patch}", flush=True)
+
+t("s1 unet forward      ", lambda: float(s1_forward(segs)[0].sum()))
+t("s2 + candidates      ", lambda: float(s2_candidates(segs)[0].sum()))
+t("s3 + nms             ", lambda: float(s3_nms(segs)[3].sum()))
+t("s4 + rasterize       ", lambda: float(s4_raster(segs).sum()))
+t("s5 stage A (extract) ", lambda: float(s5_stage_a(segs, greens).crops.sum()))
+
+# full fused screening
+smodel, sparams, _ = _fit_params()
+from cell_image_analysis_tpu.pipeline.scoring import score_frames_fused
+
+
+def full():
+    scores, stats = score_frames_fused(
+        smodel, sparams, segs, greens, backend,
+        label_capacity=cfg.max_candidates, cell_capacity=128,
+        chunk=32, caps=(64, 96),
+    )
+    return len(stats["area"])
+
+
+n = full()
+print(f"cells/batch: {n}", flush=True)
+t("s6 fused screening   ", full)
