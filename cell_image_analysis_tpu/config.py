@@ -61,6 +61,10 @@ class ExtractConfig:
     cell_capacity: int = 512         # max QC-passing cells kept per frame
     crop_capacity: int = 192         # max bbox side; area<=8000 & ecc<=0.95 bounds this
     out_size: int = 64               # reference resize target (64,64)
+    # Frames with min side >= tile_min_side route through the halo-exchanged
+    # spatial tiler (parallel/tiling.py) when a mesh is attached — the
+    # "long-context" path for 2048^2-4096^2 plates (SURVEY.md section 2.4).
+    tile_min_side: int = 2048
 
 
 @dataclass(frozen=True)

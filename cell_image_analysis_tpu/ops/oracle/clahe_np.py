@@ -26,10 +26,24 @@ executable specification that the JAX/Pallas kernel is tested against):
    int (dtype cast).
 7. Min-max rescale the result to [0, 1] float.
 
-Known potential divergence from skimage: the order in which residual excess
-counts are spread in step 5's final loop; the residual is < nbins counts per
-tile so any deviation is below 1/(k_h*k_w) of CDF mass — far inside the 1e-3
-anomaly-rate tolerance budgeted in BASELINE.md.
+Known potential divergences from skimage (unverifiable offline — skimage is
+not installed; each is bounded and documented):
+- residual-excess spread order in step 5's final loop: the residual is
+  < nbins counts per tile, so any deviation is below 1/(k_h*k_w) of CDF
+  mass;
+- skimage quantizes float input through uint16 first (img_as_uint, v*65535
+  rounded) before the min-max stretch to 14-bit; this double rounding can
+  shift isolated pixels by one 14-bit quantum vs our direct stretch, almost
+  always erased by the //65 binning;
+- skimage's map_histogram multiplies the cumsum by a float scale then
+  truncates (`astype(int)`); we floor the exact integer product — at most
+  one gray quantum apart where the float product lands within an ulp of an
+  integer.
+All three are far inside the 1e-3 anomaly-rate tolerance budgeted in
+BASELINE.md.  tests/test_clahe_golden.py checks this module against an
+independently written literal-loop transcription of the same published
+algorithm (different code path: per-pixel loops, no vectorization) so a
+vectorization/indexing bug cannot hide in a shared implementation.
 """
 
 from __future__ import annotations

@@ -207,9 +207,60 @@ class ProductionMutantScreening:
             while len(in_flight) > 1:
                 drain()
 
+        def tiled_route(seg):
+            """Large plates go through the halo-exchanged spatial tiler when
+            a mesh is attached (SURVEY.md section 2.4 'long context'): the
+            frame's rows shard over the mesh instead of replicating a
+            2048^2-4096^2 tensor into every device's fused batch graph."""
+            return (
+                self.mesh is not None
+                and min(seg.shape) >= cfg.extract.tile_min_side
+                and seg.shape[0] % self.mesh.shape["data"] == 0
+                and cfg.seg.backend == "threshold"
+            )
+
+        def score_tiled(seg, green, file_idx):
+            from cell_image_analysis_tpu.parallel.tiling import tiled_extract_cells
+            from cell_image_analysis_tpu.pipeline.scoring import (
+                compute_anomaly_scores as _score_cells_fn,
+            )
+
+            rows = seg.shape[0] // self.mesh.shape["data"]
+            with self.timer.stage("score_frames"):
+                tiled = tiled_extract_cells(
+                    jnp.asarray(seg.astype(np.float32)),
+                    jnp.asarray(green.astype(np.float32)),
+                    self.mesh,
+                    halo=min(cfg.extract.crop_capacity, rows),
+                    cell_capacity=cfg.extract.cell_capacity,
+                    crop_capacity=cfg.extract.crop_capacity,
+                    out_size=cfg.extract.out_size,
+                    threshold_percentile=cfg.seg.threshold_percentile,
+                    border_margin=cfg.qc.border_margin,
+                    min_area=cfg.qc.min_area,
+                    max_area=cfg.qc.max_area,
+                    max_eccentricity=cfg.qc.max_eccentricity,
+                    min_mean_intensity=cfg.qc.min_mean_intensity,
+                    min_std_intensity=cfg.qc.min_std_intensity,
+                )
+                valid = np.asarray(tiled.valid)
+                scores = _score_cells_fn(
+                    self.model, self.scoring_params, tiled.cells, valid=valid
+                )
+            if scores:
+                n = len(scores["reconstruction_mse"])
+                all_scores.append(scores)
+                all_stats.append(dict(
+                    file_index=np.full(n, file_idx),
+                    mean_intensity=np.asarray(tiled.mean_intensity)[valid],
+                ))
+
         stream = FrameStream(tif_files)
         for path, seg, green in stream:
             frame_names.append(os.path.basename(path))
+            if tiled_route(seg):
+                score_tiled(seg, green, len(frame_names) - 1)
+                continue
             if pend_frames and seg.shape != pend_frames[0][0].shape:
                 flush()
             pend_frames.append((seg, green))

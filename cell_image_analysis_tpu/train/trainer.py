@@ -167,6 +167,16 @@ def fit_cae(
         for step in range(steps):
             key, sk = jax.random.split(key)
             batch = jnp.asarray(X_train[perm[step]])
+            if mesh is not None:
+                # shard the batch over 'data' (params are replicated); GSPMD
+                # turns the BN/grad batch reductions into psums, so the math
+                # equals the single-device step up to float reassociation
+                # (asserted by tests/test_sharded_training.py)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch = jax.device_put(
+                    batch, NamedSharding(mesh, P("data", None, None, None))
+                )
             params, batch_stats, opt_state, loss, mae = train_step(
                 model, params, batch_stats, opt_state, batch, sk, tx, aug_cfg
             )

@@ -91,6 +91,11 @@ def test_screening_end_to_end(trained):
     wt = results["wildtype"]
     mut = results["mutantA"]
     assert wt["total_cells"] > 20 and mut["total_cells"] > 20
-    assert wt["conservative_anomaly_rate"] < 0.35
+    # Window: on the TRAINING distribution the one-class-SVM rate ~= nu=0.05
+    # (asserted tightly in test_scoring.test_training_set_rates_approximate_nu);
+    # held-out wild-type frames shift it upward (fresh cells, ~30-cell
+    # samples: binomial sd ~ sqrt(p(1-p)/30) ~ 6%).  nu + 4 sd ~ 0.30 keeps
+    # the gate meaningful without flaking on sampling noise.
+    assert wt["conservative_anomaly_rate"] < 0.30
     assert mut["moderate_anomaly_rate"] > wt["moderate_anomaly_rate"]
     assert mut["conservative_anomaly_rate"] > wt["conservative_anomaly_rate"]

@@ -1,0 +1,25 @@
+"""The parity north-star (BASELINE.md): device pipeline vs CPU reference.
+
+Runs identical synthetic frames end-to-end through the fused device
+screening graph and through the CPU reference stack (scipy segmentation,
+numpy regionprops/CLAHE/resize oracles, Keras CAE forward when available,
+float64 scaler/PCA/libsvm-form decisions) and gates the max absolute
+anomaly-rate deviation at < 1e-3 — which, over a shared ~100-cell set,
+means the two paths flag exactly the same cells.
+"""
+
+import numpy as np
+import pytest
+
+from cell_image_analysis_tpu.utils.parity import measure_parity
+
+
+@pytest.mark.slow
+def test_anomaly_rate_parity_north_star():
+    res = measure_parity(n_frames=4, size=512, n_cells=30, seed=11)
+    assert res["device"]["n_cells"] > 60, res["device"]
+    assert res["cell_count_match"], (
+        f"cell sets differ: device {res['device']['n_cells']} vs "
+        f"reference {res['reference']['n_cells']}"
+    )
+    assert res["max_deviation"] < 1e-3, res
