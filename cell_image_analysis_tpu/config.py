@@ -86,6 +86,9 @@ class SegConfig:
     max_candidates: int = 1024       # top-K candidate cap per frame (static shape)
     nms_metric: str = "iou"          # "iou" | "ios" (intersection over smaller)
     raster_patch: int = 128          # local rasterization patch side
+    raster_cap: int = 0              # >0: render only the top-N kept polygons
+                                     # (scatter volume is K*patch^2 otherwise;
+                                     # size at the per-frame cell capacity)
     # Normalization of the segmentation channel (csbdeep.utils.normalize
     # defaults, call site CAE_improved_modeltrain.py:53):
     norm_pmin: float = 3.0

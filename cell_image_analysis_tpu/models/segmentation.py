@@ -133,11 +133,18 @@ class StarDistBackend:
 
     returns_mask = False
 
-    def __init__(self, variables: dict, cfg: SegConfig = SegConfig(), model=None):
+    def __init__(self, variables: dict, cfg: SegConfig = SegConfig(), model=None,
+                 runs_props: bool = True):
         from cell_image_analysis_tpu.models.unet import StarDistUNet
 
         self.cfg = cfg
         self.variables = variables
+        # runs_props: stage A computes stats through the run-length label
+        # regionprops (ops/runs.regionprops_from_labels — no CC, no fg
+        # compaction); on run-table overflow the pipeline re-runs with the
+        # exact pixel path (pass a runs_props=False twin as
+        # fallback_segment_fn).
+        self.runs_props = runs_props
         self.model = model or StarDistUNet(
             n_rays=cfg.n_rays, depth=cfg.unet_depth,
             base_filters=cfg.base_filters, head_filters=cfg.head_filters,

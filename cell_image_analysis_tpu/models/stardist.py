@@ -46,7 +46,7 @@ def _pad_to_multiple(x: jax.Array, m: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("model", "max_candidates", "prob_thresh", "nms_thresh",
-                                   "metric", "patch", "height", "width"))
+                                   "metric", "patch", "height", "width", "raster_cap"))
 def _predict_instances_impl(
     model: StarDistUNet,
     variables: dict,
@@ -58,6 +58,7 @@ def _predict_instances_impl(
     nms_thresh: float,
     metric: str,
     patch: int,
+    raster_cap: int | None = None,
 ):
     gy, gx = model.grid
     prob, dist = model.apply(variables, img[None, :, :, None], train=False)
@@ -74,7 +75,8 @@ def _predict_instances_impl(
     cand_dists = jnp.maximum(cand_dists, 1e-3)
 
     keep = star_nms(centers, cand_dists, top_p, valid, nms_thresh=nms_thresh, metric=metric)
-    labels = rasterize_polygons(centers, cand_dists, top_p, keep, height, width, patch=patch)
+    labels = rasterize_polygons(centers, cand_dists, top_p, keep, height, width,
+                                patch=patch, raster_cap=raster_cap)
     return labels, InstanceDetails(points=centers, dists=cand_dists, probs=top_p, keep=keep)
 
 
@@ -95,4 +97,5 @@ def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = 
         model, variables, x, h, w,
         max_candidates=cfg.max_candidates, prob_thresh=cfg.prob_thresh,
         nms_thresh=cfg.nms_thresh, metric=cfg.nms_metric, patch=cfg.raster_patch,
+        raster_cap=(cfg.raster_cap or None),
     )

@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from cell_image_analysis_tpu.ops.clahe import clahe_cells
 from cell_image_analysis_tpu.ops.regionprops import qc_mask, regionprops
 from cell_image_analysis_tpu.ops.resize import resize_cells
-from cell_image_analysis_tpu.ops.runs import regionprops_from_mask
+from cell_image_analysis_tpu.ops.runs import (
+    regionprops_from_labels,
+    regionprops_from_mask,
+)
 
 
 class Candidates(NamedTuple):
@@ -515,3 +518,45 @@ def extract_cells_frames(
     if return_labels:
         return cells, stats, np.asarray(labels16)
     return cells, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "label_capacity", "cell_capacity", "crop_capacity",
+        "border_margin", "min_area", "max_area", "rcap",
+    ),
+)
+def extract_candidates_from_labels_runs(
+    labels: jax.Array,
+    green: jax.Array,
+    label_capacity: int = 1024,
+    cell_capacity: int = 512,
+    crop_capacity: int = 192,
+    border_margin: int = 10,
+    min_area: int = 200,
+    max_area: int = 8000,
+    max_eccentricity: float = 0.95,
+    min_mean_intensity: float = 0.5,
+    min_std_intensity: float = 0.1,
+    rcap: int = 64,
+) -> tuple[Candidates, jax.Array]:
+    """Stage A from an instance LABEL map via the run path (ops/runs.
+    regionprops_from_labels): no CC (labels carry ids), no fg-pixel
+    compaction, segment reductions over H*RCAP run slots — the StarDist
+    backend's fast stage A (the pixel regionprops measured ~130 ms per
+    8x1024^2 batch).  Returns the run-capacity overflow flag; callers route
+    to the exact pixel path when it is set (as with the mask path)."""
+    props, overflow = regionprops_from_labels(
+        labels, capacity=label_capacity, rcap=rcap
+    )
+    cand = _candidates_from_props(
+        props, green,
+        label_capacity=label_capacity, cell_capacity=cell_capacity,
+        crop_capacity=crop_capacity, border_margin=border_margin,
+        min_area=min_area, max_area=max_area,
+        max_eccentricity=max_eccentricity,
+        min_mean_intensity=min_mean_intensity,
+        min_std_intensity=min_std_intensity,
+    )
+    return cand, overflow

@@ -51,18 +51,24 @@ def radius_at(dists: jax.Array, theta: jax.Array) -> jax.Array:
 
     dists: (..., R); theta: broadcastable to dists[..., 0].  The true star
     polygon boundary between rays k and k+1 is a chord; we use linear
-    interpolation of the radius (StarDist's inside-test convention)."""
+    interpolation of the radius (StarDist's inside-test convention).
+
+    Implementation: circular tent weights + a reduction over R instead of
+    two take_along_axis gathers — linear interpolation is exactly a 2-hot
+    weighted sum, w_k = relu(1 - circ_dist(theta/step, k)).  Batched 1-elem
+    gathers lower to scalar loops on TPU (the measured hot spot: NMS
+    quadrature + rasterization spend ~1.3 s per 8x1024^2 batch in them,
+    BENCH.md), while the tent form is fusable elementwise work + a reduce
+    that XLA vectorizes."""
     R = dists.shape[-1]
     batch = jnp.broadcast_shapes(jnp.shape(theta), dists.shape[:-1])
     theta = jnp.broadcast_to(theta, batch)
-    dists = jnp.broadcast_to(dists, batch + (R,))
-    t = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * R
-    k0 = jnp.floor(t).astype(jnp.int32) % R
-    k1 = (k0 + 1) % R
-    frac = t - jnp.floor(t)
-    r0 = jnp.take_along_axis(dists, k0[..., None], axis=-1)[..., 0]
-    r1 = jnp.take_along_axis(dists, k1[..., None], axis=-1)[..., 0]
-    return r0 * (1.0 - frac) + r1 * frac
+    t = (theta % (2.0 * jnp.pi)) / (2.0 * jnp.pi) * R          # [0, R)
+    k = jnp.arange(R, dtype=jnp.float32)
+    d = jnp.abs(t[..., None] - k)
+    d = jnp.minimum(d, R - d)                                   # circular
+    w = jnp.maximum(0.0, 1.0 - d)                               # 2-hot tent
+    return jnp.sum(jnp.broadcast_to(dists, batch + (R,)) * w, axis=-1)
 
 
 def _quadrature(dists_i: jax.Array, centers_i: jax.Array):

@@ -190,39 +190,10 @@ def _component_numbers(parent: jax.Array, valid: jax.Array):
     return comp.reshape(h, rcap), cnum[-1]
 
 
-@partial(jax.jit, static_argnames=("capacity", "rcap", "connectivity", "impl"))
-def regionprops_from_mask(
-    mask: jax.Array,
-    capacity: int,
-    rcap: int = 64,
-    connectivity: int = 1,
-    impl: str = "topk",
-) -> tuple[RegionProps, jax.Array]:
-    """RegionProps of a boolean mask's connected components, without ever
-    materializing the label map: runs -> hook CC -> closed-form per-run
-    moments -> segment reductions over H*RCAP run slots.
-
-    Output contract matches `regionprops(label_components(mask)[0], capacity)`
-    (ops/regionprops.py): arrays indexed by label-1 in scipy numbering;
-    area/bbox bit-exact, centroid/eccentricity to f32 tolerance.  Also
-    returns the run-capacity `overflow` flag — results are only trustworthy
-    when it is False (callers fall back to the pixel path)."""
-    h, w = mask.shape
-    table = run_table(mask, rcap=rcap, impl=impl)
-    parent = cc_runs(table, connectivity=connectivity)
-    valid = table.end > 0
-    comp, _ = _component_numbers(parent, valid)
-
-    seg = jnp.where(comp.reshape(-1) > 0, comp.reshape(-1) - 1, capacity)
-    seg = jnp.minimum(seg, capacity)
+def _run_moments(seg, r, sf, ef, vf, capacity: int, h: int, w: int) -> RegionProps:
+    """Closed-form per-run moments -> segment reductions over run slots.
+    `seg`: 0-based region index per run slot (capacity = dump)."""
     n_seg = capacity + 1
-
-    r = jnp.broadcast_to(
-        jnp.arange(h, dtype=jnp.int32)[:, None], (h, rcap)
-    ).reshape(-1)
-    sf = table.start.reshape(-1)
-    ef = table.end.reshape(-1)
-    vf = valid.reshape(-1)
     ln = jnp.where(vf, ef - sf, 0)
 
     # pass 1: bbox via one 4-wide segment_max (invalid slots routed to dump)
@@ -267,7 +238,7 @@ def regionprops_from_mask(
         l1 > 0, jnp.sqrt(jnp.clip(1.0 - l2 / jnp.maximum(l1, 1e-20), 0.0, 1.0)), 0.0
     )
 
-    props = RegionProps(
+    return RegionProps(
         area=area,
         min_r=jnp.where(valid_lab, mnr_raw, 0),
         min_c=jnp.where(valid_lab, mnc_raw, 0),
@@ -278,7 +249,89 @@ def regionprops_from_mask(
         eccentricity=jnp.where(valid_lab, ecc, 0.0),
         valid=valid_lab,
     )
+
+
+@partial(jax.jit, static_argnames=("capacity", "rcap", "connectivity", "impl"))
+def regionprops_from_mask(
+    mask: jax.Array,
+    capacity: int,
+    rcap: int = 64,
+    connectivity: int = 1,
+    impl: str = "topk",
+) -> tuple[RegionProps, jax.Array]:
+    """RegionProps of a boolean mask's connected components, without ever
+    materializing the label map: runs -> hook CC -> closed-form per-run
+    moments -> segment reductions over H*RCAP run slots.
+
+    Output contract matches `regionprops(label_components(mask)[0], capacity)`
+    (ops/regionprops.py): arrays indexed by label-1 in scipy numbering;
+    area/bbox bit-exact, centroid/eccentricity to f32 tolerance.  Also
+    returns the run-capacity `overflow` flag — results are only trustworthy
+    when it is False (callers fall back to the pixel path)."""
+    h, w = mask.shape
+    table = run_table(mask, rcap=rcap, impl=impl)
+    parent = cc_runs(table, connectivity=connectivity)
+    valid = table.end > 0
+    comp, _ = _component_numbers(parent, valid)
+
+    seg = jnp.where(comp.reshape(-1) > 0, comp.reshape(-1) - 1, capacity)
+    seg = jnp.minimum(seg, capacity)
+    r = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.int32)[:, None], (h, rcap)
+    ).reshape(-1)
+    props = _run_moments(seg, r, table.start.reshape(-1), table.end.reshape(-1),
+                         valid.reshape(-1), capacity, h, w)
     return props, table.overflow
+
+
+@partial(jax.jit, static_argnames=("capacity", "rcap"))
+def regionprops_from_labels(
+    labels: jax.Array, capacity: int, rcap: int = 64
+) -> tuple[RegionProps, jax.Array]:
+    """RegionProps of an int32 instance label map via the run path — no CC
+    (labels carry their ids): runs of constant positive label -> closed-form
+    moments -> segment reductions over H*RCAP run slots keyed by label-1.
+
+    Output contract matches `regionprops(labels, capacity)` exactly
+    (area/bbox bit-exact; centroid/eccentricity to f32 tolerance); built for
+    the StarDist backend where rasterized label maps hit the pixel path's
+    fg-compaction + scatter costs (measured ~130 ms per 8x1024^2 batch)."""
+    h, w = labels.shape
+    lab = labels.astype(jnp.int32)
+    left = jnp.pad(lab, ((0, 0), (1, 0)))[:, :-1]
+    right = jnp.pad(lab, ((0, 0), (0, 1)))[:, 1:]
+    is_start = (lab > 0) & (lab != left)
+    is_end = (lab > 0) & (lab != right)
+    nruns = jnp.sum(is_start.astype(jnp.int32), axis=1)
+    overflow = jnp.any(nruns > rcap)
+
+    rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    c = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
+    js = jnp.where(is_start, jnp.minimum(rank, rcap), rcap)
+    je = jnp.where(is_end, jnp.minimum(rank, rcap), rcap)
+    start = (
+        jnp.full((h, rcap + 1), w, jnp.int32)
+        .at[r2.ravel(), js.ravel()].set(c.ravel())[:, :rcap]
+    )
+    end = (
+        jnp.zeros((h, rcap + 1), jnp.int32)
+        .at[r2.ravel(), je.ravel()].set(c.ravel() + 1)[:, :rcap]
+    )
+    run_lab = (
+        jnp.zeros((h, rcap + 1), jnp.int32)
+        .at[r2.ravel(), js.ravel()].set(lab.ravel())[:, :rcap]
+    )
+
+    vf = (end > 0).reshape(-1)
+    seg = jnp.where(vf, run_lab.reshape(-1) - 1, capacity)
+    seg = jnp.minimum(seg, capacity)
+    r = jnp.broadcast_to(
+        jnp.arange(h, dtype=jnp.int32)[:, None], (h, rcap)
+    ).reshape(-1)
+    props = _run_moments(seg, r, start.reshape(-1), end.reshape(-1), vf,
+                         capacity, h, w)
+    return props, overflow
 
 
 @partial(jax.jit, static_argnames=("rcap", "connectivity", "impl"))

@@ -252,6 +252,20 @@ def _stage_a_one(segment_fn, candidate_kwargs, seg, green):
         kw.pop("fg_fraction", None)
         cand, overflow = extract_candidates_from_mask(segment_fn(seg), green, **kw)
         ovf = jnp.full(cand.valid.shape, overflow, jnp.float32)
+    elif getattr(segment_fn, "runs_props", False):
+        # label map whose stats run through the run-length regionprops
+        # (no CC, no fg compaction) — the StarDist backend's fast stage A;
+        # overflow routes to the exact pixel path like the mask path
+        from cell_image_analysis_tpu.ops.extract import (
+            extract_candidates_from_labels_runs,
+        )
+
+        kw.pop("fg_fraction", None)
+        kw.pop("connectivity", None)
+        cand, overflow = extract_candidates_from_labels_runs(
+            segment_fn(seg), green, **kw
+        )
+        ovf = jnp.full(cand.valid.shape, overflow, jnp.float32)
     else:
         kw.pop("rcap", None)
         kw.pop("connectivity", None)

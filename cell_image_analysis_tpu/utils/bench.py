@@ -108,17 +108,21 @@ _STARDIST_BACKENDS: dict = {}
 
 
 def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
-                     prob_thresh: float | None = None):
+                     prob_thresh: float | None = None, raster_cap: int = 128,
+                     runs_props: bool = True):
     """Identity-stable StarDistBackend over the committed synthetic weights
     (the scoring graphs jit-cache on segment_fn identity)."""
     from cell_image_analysis_tpu.config import SegConfig
     from cell_image_analysis_tpu.models.segmentation import StarDistBackend
 
     kw = {} if prob_thresh is None else {"prob_thresh": prob_thresh}
-    key = (max_candidates, raster_patch, prob_thresh)
+    key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props)
     if key not in _STARDIST_BACKENDS:
-        cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch, **kw)
-        _STARDIST_BACKENDS[key] = StarDistBackend(load_synthetic_unet_variables(), cfg)
+        cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch,
+                        raster_cap=raster_cap, **kw)
+        _STARDIST_BACKENDS[key] = StarDistBackend(
+            load_synthetic_unet_variables(), cfg, runs_props=runs_props
+        )
     return _STARDIST_BACKENDS[key]
 
 
@@ -155,12 +159,19 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True,
     if backend == "stardist":
         # label-map path: StarDist predict_instances per frame; no run-table,
         # so no fallback/fg_fraction knobs
-        segment_fn = stardist_backend(
+        sd_kw = dict(
             max_candidates=int(os.environ.get("CIA_BENCH_SD_CAND", "256")),
             raster_patch=int(os.environ.get("CIA_BENCH_SD_PATCH", "96")),
+            raster_cap=int(os.environ.get("CIA_BENCH_SD_RCAP", "128")),
         )
-        full_kw = dict(label_capacity=segment_fn.cfg.max_candidates,
-                       cell_capacity=128, **kw)
+        segment_fn = stardist_backend(**sd_kw)
+        # exact-pixel-path twin: re-run target on run-table overflow
+        fallback = stardist_backend(runs_props=False, **sd_kw)
+        full_kw = dict(label_capacity=(segment_fn.cfg.raster_cap
+                                       or segment_fn.cfg.max_candidates),
+                       cell_capacity=128, fallback_segment_fn=fallback,
+                       rcap=int(os.environ.get("CIA_BENCH_SD_RUNS_RCAP", "64")),
+                       **kw)
     else:
         segment_fn = _threshold_mask_fn
         kw["fg_fraction"] = 0.12

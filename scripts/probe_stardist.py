@@ -38,8 +38,14 @@ stack = np.stack(frames)
 segs = jnp.asarray(stack[..., 2].astype(np.float32))
 greens = jnp.asarray(stack[..., 1].astype(np.float32))
 
+import os
 variables = load_synthetic_unet_variables()
-backend = stardist_backend()
+backend = stardist_backend(
+    max_candidates=int(os.environ.get("CIA_BENCH_SD_CAND", "256")),
+    raster_patch=int(os.environ.get("CIA_BENCH_SD_PATCH", "96")),
+    raster_cap=int(os.environ.get("CIA_BENCH_SD_RCAP", "128")),
+    runs_props=os.environ.get("CIA_BENCH_SD_RUNS", "1") == "1",
+)
 cfg = backend.cfg
 model = backend.model
 
@@ -101,18 +107,26 @@ def s4_raster(segs):
 
 @jax.jit
 def s5_stage_a(segs, greens):
-    from cell_image_analysis_tpu.ops.extract import extract_candidates
+    from cell_image_analysis_tpu.ops.extract import (
+        extract_candidates,
+        extract_candidates_from_labels_runs,
+    )
+
+    lcap = cfg.raster_cap or cfg.max_candidates
 
     def one(seg, green):
         lab = backend(seg)
-        return extract_candidates(lab, green,
-                                  label_capacity=cfg.max_candidates,
+        if getattr(backend, "runs_props", False):
+            cand, _ = extract_candidates_from_labels_runs(
+                lab, green, label_capacity=lcap, cell_capacity=128)
+            return cand
+        return extract_candidates(lab, green, label_capacity=lcap,
                                   cell_capacity=128)
     return jax.vmap(one)(segs, greens)
 
 
-print(f"probe_stardist: batch={BATCH} size={SIZE} "
-      f"max_candidates={cfg.max_candidates} patch={cfg.raster_patch}", flush=True)
+print(f"probe_stardist: batch={BATCH} size={SIZE} max_candidates={cfg.max_candidates} "
+      f"patch={cfg.raster_patch} rcap={cfg.raster_cap} runs={backend.runs_props}", flush=True)
 
 t("s1 unet forward      ", lambda: float(s1_forward(segs)[0].sum()))
 t("s2 + candidates      ", lambda: float(s2_candidates(segs)[0].sum()))
@@ -128,7 +142,8 @@ from cell_image_analysis_tpu.pipeline.scoring import score_frames_fused
 def full():
     scores, stats = score_frames_fused(
         smodel, sparams, segs, greens, backend,
-        label_capacity=cfg.max_candidates, cell_capacity=128,
+        label_capacity=(cfg.raster_cap or cfg.max_candidates),
+        cell_capacity=128, rcap=64,
         chunk=32, caps=(64, 96),
     )
     return len(stats["area"])

@@ -157,6 +157,47 @@ def test_regionprops_from_mask_matches_pixel_path(rng):
         )
 
 
+def test_regionprops_from_labels_matches_pixel_path(rng):
+    from cell_image_analysis_tpu.ops.runs import regionprops_from_labels
+
+    # label map with ids NOT in raster order (the StarDist rasterizer
+    # numbers by descending probability)
+    mask = _blob_image(rng)
+    labels, count = label_components(jnp.asarray(mask), connectivity=1)
+    perm = np.concatenate([[0], 1 + rng.permutation(64)])
+    labels = jnp.asarray(perm[np.asarray(labels)].astype(np.int32))
+
+    ref = regionprops(labels, capacity=64)
+    got, ov = regionprops_from_labels(labels, capacity=64, rcap=64)
+    assert not bool(ov)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(got.area), np.asarray(ref.area))
+    for f in ("min_r", "min_c", "max_r", "max_c"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)), err_msg=f
+        )
+    v = np.asarray(ref.valid)
+    for f in ("centroid_r", "centroid_c", "eccentricity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f))[v], np.asarray(getattr(ref, f))[v],
+            atol=1e-4, err_msg=f,
+        )
+
+    # adjacent different-label runs (touching instances) must split runs
+    lab2 = np.zeros((16, 32), np.int32)
+    lab2[4:8, 2:10] = 3
+    lab2[4:8, 10:20] = 1   # touches label 3 with no gap
+    lab2[10:12, 5:25] = 2
+    got2, ov2 = regionprops_from_labels(jnp.asarray(lab2), capacity=8, rcap=8)
+    ref2 = regionprops(jnp.asarray(lab2), capacity=8)
+    assert not bool(ov2)
+    np.testing.assert_array_equal(np.asarray(got2.area), np.asarray(ref2.area))
+    for f in ("min_r", "min_c", "max_r", "max_c"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got2, f)), np.asarray(getattr(ref2, f)), err_msg=f
+        )
+
+
 def test_regionprops_from_mask_capacity_dump(rng):
     # labels beyond capacity are dumped, same as the pixel path
     mask = np.zeros((64, 64), bool)

@@ -75,3 +75,39 @@ def test_train_unet_then_predict_instances(rng):
     # predicted instances should cover most of the true foreground
     overlap = ((labels > 0) & (lab > 0)).sum() / max((lab > 0).sum(), 1)
     assert overlap > 0.5, overlap
+
+
+@pytest.mark.slow
+def test_stardist_runs_stage_a_matches_pixel_path(rng):
+    """The StarDist backend's run-length label regionprops stage A
+    (runs_props=True) produces the same cells and identical decisions as
+    the exact pixel path through the fused screening graph."""
+    import numpy as np
+
+    from cell_image_analysis_tpu.models.segmentation import StarDistBackend
+    from cell_image_analysis_tpu.pipeline.scoring import score_frames_fused
+    from cell_image_analysis_tpu.utils.bench import (
+        _fit_params,
+        load_synthetic_unet_variables,
+    )
+    from cell_image_analysis_tpu.utils.synthetic import make_frame
+
+    model, params, _ = _fit_params()
+    uvars = load_synthetic_unet_variables()
+    cfg = SegConfig(max_candidates=128, raster_patch=96, raster_cap=64)
+    b_runs = StarDistBackend(uvars, cfg, runs_props=True)
+    b_pix = StarDistBackend(uvars, cfg, runs_props=False)
+    nprng = np.random.default_rng(3)
+    fr = np.stack([make_frame(nprng, size=256, n_cells=5) for _ in range(2)])
+    segs = jnp.asarray(fr[..., 2].astype(np.float32))
+    greens = jnp.asarray(fr[..., 1].astype(np.float32))
+    kw = dict(chunk=16, cell_capacity=32, label_capacity=64)
+    s1, st1 = score_frames_fused(model, params, segs, greens, b_runs,
+                                 rcap=64, fallback_segment_fn=b_pix, **kw)
+    s2, st2 = score_frames_fused(model, params, segs, greens, b_pix, **kw)
+    assert len(st1["area"]) == len(st2["area"]) > 0
+    np.testing.assert_array_equal(np.sort(st1["area"]), np.sort(st2["area"]))
+    np.testing.assert_allclose(np.sort(s1["reconstruction_mse"]),
+                               np.sort(s2["reconstruction_mse"]), atol=1e-6)
+    for d in ("conservative", "moderate", "ensemble", "fft"):
+        assert s1[f"{d}_anomaly_rate"] == s2[f"{d}_anomaly_rate"], d
