@@ -26,11 +26,12 @@ from __future__ import annotations
 import numpy as np
 
 
-def oracle_extract_cells(frame: np.ndarray) -> np.ndarray:
-    """Threshold-backend oracle extraction for one (H, W, 3) frame:
-    normalize -> threshold -> opening -> label -> QC -> CLAHE -> resize.
-    Returns (N, 64, 64) float32 cells (reference extract_quality_cells,
-    CAE_improved_modeltrain.py:39-111)."""
+def oracle_extract_cells(frame: np.ndarray, segment=None) -> np.ndarray:
+    """Reference-stack oracle extraction for one (H, W, 3) frame:
+    normalize -> segment -> QC -> CLAHE -> resize.  `segment` maps the
+    percentile-normalized seg channel to an int label map; default is the
+    scipy threshold backend.  Returns (N, 64, 64) float32 cells (reference
+    extract_quality_cells, CAE_improved_modeltrain.py:39-111)."""
     from scipy import ndimage as ndi
 
     from cell_image_analysis_tpu.ops.oracle.clahe_np import equalize_adapthist_np
@@ -40,9 +41,12 @@ def oracle_extract_cells(frame: np.ndarray) -> np.ndarray:
     green = frame[..., 1].astype(np.float64)
     lo, hi = np.percentile(seg, 3), np.percentile(seg, 99.8)
     norm = (seg - lo) / (hi - lo + 1e-20)
-    thresh = np.percentile(norm, 90.0)
-    mask = ndi.binary_opening(norm > thresh)
-    labels, _ = ndi.label(mask)
+    if segment is not None:
+        labels = segment(norm)
+    else:
+        thresh = np.percentile(norm, 90.0)
+        mask = ndi.binary_opening(norm > thresh)
+        labels, _ = ndi.label(mask)
     h, w = labels.shape
 
     def resize_oracle(img, out=64):
@@ -176,10 +180,15 @@ def oracle_score(cells: np.ndarray, host: dict, min_votes: int = 2,
 
 
 def measure_parity(n_frames: int = 4, size: int = 512, n_cells: int = 30,
-                   seed: int = 11, use_keras: bool = True) -> dict:
+                   seed: int = 11, use_keras: bool = True,
+                   backend: str = "threshold") -> dict:
     """Run the same synthetic frames through the fused device pipeline and
     the CPU reference stack; return per-detector rates and the max absolute
-    rate deviation (the BASELINE.md north-star)."""
+    rate deviation (the BASELINE.md north-star).
+
+    backend="stardist" runs the full reference segmentation stack on both
+    sides: the device StarDistBackend vs a CPU Keras/TF U-Net forward (same
+    weights) + the numpy greedy NMS/rasterization oracle."""
     import jax.numpy as jnp
 
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
@@ -188,20 +197,38 @@ def measure_parity(n_frames: int = 4, size: int = 512, n_cells: int = 30,
         _fit_params,
         _make_frames,
         _threshold_mask_fn,
+        stardist_backend,
     )
 
     model, params, host = _fit_params()
     frames = _make_frames(n_frames, size, n_cells, seed=seed)
     stack = np.stack(frames)
 
-    scores, stats = score_frames_fused(
-        model, params,
-        jnp.asarray(stack[..., 2].astype(np.float32)),
-        jnp.asarray(stack[..., 1].astype(np.float32)),
-        _threshold_mask_fn, fallback_segment_fn=threshold_segment,
-        chunk=32, caps=(64, 96), cell_capacity=128, label_capacity=4096,
-        fg_fraction=0.12,
-    )
+    oracle_segment = None
+    if backend == "stardist":
+        from cell_image_analysis_tpu.utils.bench import _keras_unet_segment_cpu
+
+        sd = stardist_backend()
+        fallback = stardist_backend(runs_props=False)
+        scores, stats = score_frames_fused(
+            model, params,
+            jnp.asarray(stack[..., 2].astype(np.float32)),
+            jnp.asarray(stack[..., 1].astype(np.float32)),
+            sd, fallback_segment_fn=fallback, rcap=64,
+            chunk=32, caps=(64, 96), cell_capacity=128,
+            label_capacity=(sd.cfg.raster_cap or sd.cfg.max_candidates),
+        )
+        _keras_seg = _keras_unet_segment_cpu(size)
+        oracle_segment = lambda norm: _keras_seg(norm)
+    else:
+        scores, stats = score_frames_fused(
+            model, params,
+            jnp.asarray(stack[..., 2].astype(np.float32)),
+            jnp.asarray(stack[..., 1].astype(np.float32)),
+            _threshold_mask_fn, fallback_segment_fn=threshold_segment,
+            chunk=32, caps=(64, 96), cell_capacity=128, label_capacity=4096,
+            fg_fraction=0.12,
+        )
     dev = {
         "n_cells": len(stats["area"]),
         "conservative_anomaly_rate":
@@ -214,7 +241,7 @@ def measure_parity(n_frames: int = 4, size: int = 512, n_cells: int = 30,
             float((np.asarray(scores["fft_predictions"]) == -1).mean()),
     }
 
-    cells = [oracle_extract_cells(f) for f in frames]
+    cells = [oracle_extract_cells(f, segment=oracle_segment) for f in frames]
     cells = np.concatenate([c for c in cells if len(c)], axis=0)
     ref = oracle_score(cells, host, use_keras=use_keras)
 

@@ -23,3 +23,21 @@ def test_anomaly_rate_parity_north_star():
         f"reference {res['reference']['n_cells']}"
     )
     assert res["max_deviation"] < 1e-3, res
+
+
+@pytest.mark.slow
+def test_anomaly_rate_parity_stardist_backend():
+    """Same gate through the full StarDist stack: device U-Net -> fixpoint
+    NMS -> scatter rasterize -> runs regionprops vs CPU Keras forward ->
+    greedy numpy NMS -> numpy rasterize -> numpy regionprops.  Identical
+    cell sets means every approximation pair (quadrature-vs-pixel overlap,
+    f32-vs-oneDNN conv, tent-vs-gather radius) agrees on this workload."""
+    pytest.importorskip("keras")
+    res = measure_parity(n_frames=2, size=512, n_cells=24, seed=13,
+                         backend="stardist")
+    assert res["device"]["n_cells"] > 20, res["device"]
+    assert res["cell_count_match"], (
+        f"cell sets differ: device {res['device']['n_cells']} vs "
+        f"reference {res['reference']['n_cells']}"
+    )
+    assert res["max_deviation"] < 1e-3, res

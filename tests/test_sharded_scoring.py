@@ -87,3 +87,39 @@ def test_score_frames_fused_sharded_matches_unsharded(rng):
             assert ref[k] == out[k], k
         else:
             np.testing.assert_allclose(out[k], ref[k], atol=1e-5, err_msg=k)
+
+
+@pytest.mark.slow
+def test_score_frames_fused_sharded_stardist(rng):
+    """The StarDist backend (U-Net -> NMS -> rasterize -> runs regionprops)
+    through the fused mesh path must equal its single-device run — the
+    multi-chip evidence for the reference's actual segmentation stack."""
+    from cell_image_analysis_tpu.config import SegConfig
+    from cell_image_analysis_tpu.models.segmentation import StarDistBackend
+    from cell_image_analysis_tpu.pipeline.scoring import score_frames_fused
+    from cell_image_analysis_tpu.utils.bench import load_synthetic_unet_variables
+    from cell_image_analysis_tpu.utils.synthetic import make_frame
+
+    model, params, _, _ = _fitted_params(rng, n_train=120)
+    uvars = load_synthetic_unet_variables()
+    backend = StarDistBackend(
+        uvars, SegConfig(max_candidates=64, raster_patch=64, raster_cap=32)
+    )
+    frames = [make_frame(rng, size=256, n_cells=5) for _ in range(8)]
+    segs = jnp.asarray(np.stack([f[..., 2] for f in frames]).astype(np.float32))
+    greens = jnp.asarray(np.stack([f[..., 1] for f in frames]).astype(np.float32))
+
+    kw = dict(chunk=16, cell_capacity=32, label_capacity=32, rcap=64)
+    ref, ref_stats = score_frames_fused(model, params, segs, greens,
+                                        backend, **kw)
+    mesh = make_mesh(8)
+    out, out_stats = score_frames_fused(model, params, segs, greens,
+                                        backend, mesh=mesh, **kw)
+    assert len(ref_stats["area"]) > 10
+    np.testing.assert_array_equal(ref_stats["frame_index"], out_stats["frame_index"])
+    np.testing.assert_array_equal(ref_stats["area"], out_stats["area"])
+    for k in ref:
+        if k.endswith("_rate"):
+            assert ref[k] == out[k], k
+        else:
+            np.testing.assert_allclose(out[k], ref[k], atol=1e-5, err_msg=k)
