@@ -350,9 +350,13 @@ def run_bench(n_frames: int = 48, size: int = 1024, n_cells: int = 80,
 
     backend="stardist" benches the reference's actual segmentation stack
     (U-Net -> star NMS -> rasterize) against its own CPU baseline
-    (CPU_BASELINE_STARDIST.json: Keras-on-CPU forward + numpy NMS oracle)."""
+    (CPU_BASELINE_STARDIST.json: Keras-on-CPU forward + numpy NMS oracle).
+    It runs frame_batch=8: the 16-frame U-Net graph OOMs v5e HBM — the
+    f32[16,1024,1024,32] level-0 conv activation lays out T(8,128) with 32
+    channels against 128 lanes, a 4x padding expansion to 8G per buffer."""
+    fb = 8 if backend == "stardist" else 16
     res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells,
-                        frame_batch=16, backend=backend)
+                        frame_batch=fb, backend=backend)
     base = load_cpu_baseline(backend)
     vs = res["cells_per_sec"] / base if base else None
     suffix = "_stardist" if backend == "stardist" else ""
