@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 from datetime import datetime
 
@@ -76,6 +77,8 @@ def main(argv=None):
     pb.add_argument("--frames", type=int, default=8)
     pb.add_argument("--size", type=int, default=1024)
     pb.add_argument("--cells-per-frame", type=int, default=80)
+    pb.add_argument("--backend", default="threshold",
+                    choices=["threshold", "stardist"])
 
     args = parser.parse_args(argv)
 
@@ -86,17 +89,31 @@ def main(argv=None):
     if args.command == "bench":
         from cell_image_analysis_tpu.utils.bench import run_bench
 
-        print(run_bench(n_frames=args.frames, size=args.size, n_cells=args.cells_per_frame))
+        print(run_bench(n_frames=args.frames, size=args.size,
+                        n_cells=args.cells_per_frame, backend=args.backend))
         return 0
 
     from cell_image_analysis_tpu.config import PipelineConfig
 
     config = _apply_overrides(PipelineConfig(), args)
     unet_variables = None
-    if args.unet_weights:
+    weights_path = args.unet_weights
+    if not weights_path and args.backend == "stardist":
+        # fall back to the committed in-framework-trained weights
+        # (scripts/make_unet_weights.py) — the no-network stand-in for the
+        # reference's downloaded 2D_versatile_fluo
+        default = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets", "unet_synthetic.pkl")
+        if os.path.exists(default):
+            print(f"--backend stardist without --unet-weights: using {default}")
+            weights_path = default
+        else:
+            print("--backend stardist without --unet-weights and no bundled "
+                  "weights found: falling back to the threshold backend")
+    if weights_path:
         import pickle
 
-        with open(args.unet_weights, "rb") as f:
+        with open(weights_path, "rb") as f:
             payload = pickle.load(f)
         magic = payload.get("magic", "") if isinstance(payload, dict) else ""
         if magic == "cell_image_analysis_tpu/unet-synthetic-v1":
@@ -108,7 +125,7 @@ def main(argv=None):
         else:
             from cell_image_analysis_tpu.io.artifacts import load_cae  # generic pytree loader
 
-            unet_variables = load_cae(args.unet_weights)[1]
+            unet_variables = load_cae(weights_path)[1]
     mesh = None
     if args.mesh:
         from cell_image_analysis_tpu.parallel.mesh import make_mesh

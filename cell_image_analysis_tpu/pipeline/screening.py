@@ -40,14 +40,17 @@ class ProductionMutantScreening:
         self.mesh = mesh
         self.timer = StageTimer()
         self.meter = ThroughputMeter()
-        # identity-stable segmentation callable: the scoring graphs jit-cache
+        # identity-stable segmentation callables: the scoring graphs jit-cache
         # on segment_fn identity, so a fresh lambda per batch would re-trace
         self._segment = lambda s: segment_frame(s, self.config.seg, self.unet_variables)
-        # threshold backend: the production path stops at the boolean mask and
-        # routes through the run-length CC/regionprops (ops/runs.py), never
-        # materializing a label map; self._segment stays the exact fallback
-        # for the (never-observed) run-table overflow case
+        self._segment_mask = None
+        self._segment_fallback = None
         if config.seg.backend == "threshold" or unet_variables is None:
+            # threshold backend: the production path stops at the boolean
+            # mask and routes through the run-length CC/regionprops
+            # (ops/runs.py), never materializing a label map; self._segment
+            # stays the exact fallback for the (never-observed) run-table
+            # overflow case
             from cell_image_analysis_tpu.models.segmentation import threshold_mask
 
             self._segment_mask = lambda s: threshold_mask(
@@ -55,8 +58,25 @@ class ProductionMutantScreening:
                 pmin=self.config.seg.norm_pmin, pmax=self.config.seg.norm_pmax,
             )
             self._segment_mask.returns_mask = True
+            self._segment_fallback = self._segment
         else:
-            self._segment_mask = None
+            # StarDist backend: raster-capped predict_instances with the
+            # run-length label regionprops stage A (BENCH.md: 1573 -> 330 ms
+            # per 8x1024^2 batch); an exact-pixel-path twin handles the
+            # run-table-overflow fallback
+            from cell_image_analysis_tpu.models.segmentation import StarDistBackend
+
+            import dataclasses
+
+            seg_cfg = config.seg
+            if not seg_cfg.raster_cap:
+                seg_cfg = dataclasses.replace(
+                    seg_cfg, raster_cap=config.extract.cell_capacity
+                )
+            self._segment = StarDistBackend(unet_variables, seg_cfg)
+            self._segment_fallback = StarDistBackend(
+                unet_variables, seg_cfg, runs_props=False
+            )
         self.load_trained_models()
 
     def load_trained_models(self):
@@ -183,9 +203,7 @@ class ProductionMutantScreening:
                 pend = score_frames_fused_start(
                     self.model, self.scoring_params, segs, greens,
                     self._segment_mask or self._segment,
-                    fallback_segment_fn=(
-                        self._segment if self._segment_mask is not None else None
-                    ),
+                    fallback_segment_fn=self._segment_fallback,
                     mesh=self.mesh,
                     chunk=32, caps=(64, 96),
                     fg_fraction=fg_fraction,
