@@ -89,6 +89,9 @@ class SegConfig:
     raster_cap: int = 0              # >0: render only the top-N kept polygons
                                      # (scatter volume is K*patch^2 otherwise;
                                      # size at the per-frame cell capacity)
+    unet_dtype: str = "float32"      # "bfloat16": half the conv-activation
+                                     # HBM footprint + 2x MXU; prob deviates
+                                     # ~1e-3 from the f32 forward
     # Normalization of the segmentation channel (csbdeep.utils.normalize
     # defaults, call site CAE_improved_modeltrain.py:53):
     norm_pmin: float = 3.0

@@ -148,7 +148,7 @@ class StarDistBackend:
         self.model = model or StarDistUNet(
             n_rays=cfg.n_rays, depth=cfg.unet_depth,
             base_filters=cfg.base_filters, head_filters=cfg.head_filters,
-            grid=cfg.grid,
+            grid=cfg.grid, dtype=cfg.unet_dtype,
         )
 
     def __call__(self, seg_channel: jax.Array) -> jax.Array:

@@ -109,17 +109,18 @@ _STARDIST_BACKENDS: dict = {}
 
 def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
                      prob_thresh: float | None = None, raster_cap: int = 128,
-                     runs_props: bool = True):
+                     runs_props: bool = True, unet_dtype: str = "float32"):
     """Identity-stable StarDistBackend over the committed synthetic weights
     (the scoring graphs jit-cache on segment_fn identity)."""
     from cell_image_analysis_tpu.config import SegConfig
     from cell_image_analysis_tpu.models.segmentation import StarDistBackend
 
     kw = {} if prob_thresh is None else {"prob_thresh": prob_thresh}
-    key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props)
+    key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props,
+           unet_dtype)
     if key not in _STARDIST_BACKENDS:
         cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch,
-                        raster_cap=raster_cap, **kw)
+                        raster_cap=raster_cap, unet_dtype=unet_dtype, **kw)
         _STARDIST_BACKENDS[key] = StarDistBackend(
             load_synthetic_unet_variables(), cfg, runs_props=runs_props
         )
@@ -163,6 +164,7 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True,
             max_candidates=int(os.environ.get("CIA_BENCH_SD_CAND", "256")),
             raster_patch=int(os.environ.get("CIA_BENCH_SD_PATCH", "96")),
             raster_cap=int(os.environ.get("CIA_BENCH_SD_RCAP", "128")),
+            unet_dtype=os.environ.get("CIA_BENCH_SD_DTYPE", "float32"),
         )
         segment_fn = stardist_backend(**sd_kw)
         # exact-pixel-path twin: re-run target on run-table overflow
