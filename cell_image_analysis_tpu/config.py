@@ -89,6 +89,12 @@ class SegConfig:
     raster_cap: int = 0              # >0: render only the top-N kept polygons
                                      # (scatter volume is K*patch^2 otherwise;
                                      # size at the per-frame cell capacity)
+    raster_mode: str = "tiled"       # "tiled": scatter-free dense per-tile
+                                     # inside tests, no patch clipping;
+                                     # "scatter": patch scatter-max
+    raster_tile: int = 128           # tiled mode: tile side (frame side must
+                                     # be a multiple; else scatter fallback)
+    raster_m_cap: int = 16           # tiled mode: per-tile polygon capacity
     unet_dtype: str = "float32"      # "bfloat16": half the conv-activation
                                      # HBM footprint + 2x MXU; prob deviates
                                      # ~1e-3 from the f32 forward

@@ -46,7 +46,8 @@ def _pad_to_multiple(x: jax.Array, m: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("model", "max_candidates", "prob_thresh", "nms_thresh",
-                                   "metric", "patch", "height", "width", "raster_cap"))
+                                   "metric", "patch", "height", "width", "raster_cap",
+                                   "raster_mode", "raster_tile", "raster_m_cap"))
 def _predict_instances_impl(
     model: StarDistUNet,
     variables: dict,
@@ -59,9 +60,14 @@ def _predict_instances_impl(
     metric: str,
     patch: int,
     raster_cap: int | None = None,
+    raster_mode: str = "tiled",
+    raster_tile: int = 128,
+    raster_m_cap: int = 16,
 ):
+    from cell_image_analysis_tpu.models.unet import unet_apply
+
     gy, gx = model.grid
-    prob, dist = model.apply(variables, img[None, :, :, None], train=False)
+    prob, dist = unet_apply(model, variables, img[None, :, :, None], train=False)
     prob, dist = prob[0], dist[0]          # (h', w'), (h', w', R)
     hp, wp = prob.shape
 
@@ -75,8 +81,15 @@ def _predict_instances_impl(
     cand_dists = jnp.maximum(cand_dists, 1e-3)
 
     keep = star_nms(centers, cand_dists, top_p, valid, nms_thresh=nms_thresh, metric=metric)
-    labels = rasterize_polygons(centers, cand_dists, top_p, keep, height, width,
-                                patch=patch, raster_cap=raster_cap)
+    if raster_mode == "tiled" and height % raster_tile == 0 and width % raster_tile == 0:
+        from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
+
+        labels = rasterize_polygons_tiled(centers, cand_dists, top_p, keep,
+                                          height, width, tile=raster_tile,
+                                          m_cap=raster_m_cap, raster_cap=raster_cap)
+    else:
+        labels = rasterize_polygons(centers, cand_dists, top_p, keep, height, width,
+                                    patch=patch, raster_cap=raster_cap)
     return labels, InstanceDetails(points=centers, dists=cand_dists, probs=top_p, keep=keep)
 
 
@@ -97,5 +110,6 @@ def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = 
         model, variables, x, h, w,
         max_candidates=cfg.max_candidates, prob_thresh=cfg.prob_thresh,
         nms_thresh=cfg.nms_thresh, metric=cfg.nms_metric, patch=cfg.raster_patch,
-        raster_cap=(cfg.raster_cap or None),
+        raster_cap=(cfg.raster_cap or None), raster_mode=cfg.raster_mode,
+        raster_tile=cfg.raster_tile, raster_m_cap=cfg.raster_m_cap,
     )

@@ -49,6 +49,69 @@ class History:
             self.history[k].append(float(v))
 
 
+@dataclass
+class KerasCallbackState:
+    """EarlyStopping + ModelCheckpoint + ReduceLROnPlateau as one explicit
+    state machine with Keras-exact semantics, monitor='val_loss', mode='min'
+    (reference callback construction: CAE_improved_modeltrain.py:263-283).
+
+    Semantics adjudicated against the real keras.callbacks implementations
+    driven with identical val-loss sequences in tests/test_keras_callbacks.py:
+    - EarlyStopping(min_delta=0): improvement is strict `<`; wait resets on
+      improvement, stop when wait >= patience.
+    - ModelCheckpoint(save_best_only): save exactly when val improves.
+    - ReduceLROnPlateau: improvement is `current < best - min_delta`; after
+      `patience` stale epochs lr -> max(lr*factor, min_lr); wait resets only
+      when the lr actually moved (Keras attempts a no-op reduction every
+      epoch once lr sits at min_lr).
+    """
+
+    lr: float
+    es_patience: int = 10
+    rlr_patience: int = 5
+    rlr_factor: float = 0.5
+    rlr_min_lr: float = 1e-6
+    rlr_min_delta: float = 1e-4
+    best_val: float = np.inf
+    es_wait: int = 0
+    rlr_best: float = np.inf
+    rlr_wait: int = 0
+
+    def on_epoch_end(self, val_loss: float) -> tuple[bool, bool, bool]:
+        """Returns (improved, stop, lr_reduced); on lr_reduced read the new
+        rate from `.lr`."""
+        # Keras 3 monitor_op is keras.ops.less: the comparison happens in
+        # FLOAT32 (python-float logs are cast to f32 tensors), so values
+        # within f32 eps of the best tie instead of improving
+        improved = bool(np.float32(val_loss) < np.float32(self.best_val))
+        if improved:
+            self.best_val = val_loss
+            self.es_wait = 0
+        else:
+            self.es_wait += 1
+        stop = self.es_wait >= self.es_patience
+
+        lr_reduced = False
+        # Keras 3 negates min_delta for mode='min' and tests
+        # `current - min_delta < best` — i.e. current + min_delta < best,
+        # with the python-float64 sum then compared in f32 by keras.ops.less.
+        # Same math as `current < best - min_delta` but NOT the same
+        # rounding; sequences stepping by ~min_delta sit exactly on the edge
+        if bool(np.float32(val_loss + self.rlr_min_delta)
+                < np.float32(self.rlr_best)):
+            self.rlr_best = val_loss
+            self.rlr_wait = 0
+        else:
+            self.rlr_wait += 1
+            if self.rlr_wait >= self.rlr_patience:
+                new_lr = max(self.lr * self.rlr_factor, self.rlr_min_lr)
+                if new_lr < self.lr:
+                    self.lr = new_lr
+                    lr_reduced = True
+                    self.rlr_wait = 0
+        return improved, stop, lr_reduced
+
+
 def make_optimizer(cae_cfg: CAEConfig):
     return optax.inject_hyperparams(optax.adam)(
         learning_rate=cae_cfg.learning_rate, b1=0.9, b2=0.999, eps=cae_cfg.adam_eps
@@ -132,11 +195,15 @@ def fit_cae(
     history = History()
     lr = cae_cfg.learning_rate
 
-    best_val = np.inf            # EarlyStopping / ModelCheckpoint monitor
+    cbs = KerasCallbackState(
+        lr=lr,
+        es_patience=train_cfg.early_stop_patience,
+        rlr_patience=train_cfg.reduce_lr_patience,
+        rlr_factor=train_cfg.reduce_lr_factor,
+        rlr_min_lr=train_cfg.reduce_lr_min_lr,
+        rlr_min_delta=train_cfg.reduce_lr_min_delta,
+    )
     best_weights = (params, batch_stats)
-    es_wait = 0
-    rlr_best = np.inf            # ReduceLROnPlateau has its own best/min_delta
-    rlr_wait = 0
     stopped_epoch = 0
     start_epoch = 0
     rng = np.random.default_rng(train_cfg.seed)
@@ -150,10 +217,12 @@ def fit_cae(
             batch_stats = ck["batch_stats"]
             opt_state = ck["opt_state"]
             key = ck["key"]
-            lr = float(ck["lr"])
-            best_val = float(ck["best_val"])
+            lr = cbs.lr = float(ck["lr"])
+            cbs.best_val = float(ck["best_val"])
             best_weights = (ck["best_params"], ck["best_batch_stats"])
-            es_wait, rlr_best, rlr_wait = ck["es_wait"], float(ck["rlr_best"]), ck["rlr_wait"]
+            cbs.es_wait, cbs.rlr_best, cbs.rlr_wait = (
+                ck["es_wait"], float(ck["rlr_best"]), ck["rlr_wait"]
+            )
             history.history = {k: list(v) for k, v in ck["history"].items()}
             start_epoch = int(ck["epoch"]) + 1
             rng.bit_generator.state = ck["np_rng_state"]
@@ -192,44 +261,33 @@ def fit_cae(
                 f"mae: {train_mae:.6f} - val_loss: {val_loss:.6f} - val_mae: {val_mae:.6f}"
             )
 
-        # ModelCheckpoint + EarlyStopping (strict improvement, min_delta=0)
-        if val_loss < best_val:
-            best_val = val_loss
+        # Keras callback triple (EarlyStopping + ModelCheckpoint +
+        # ReduceLROnPlateau); Keras runs every callback's on_epoch_end even
+        # on the stopping epoch, so the lr update applies before the break
+        improved, stop, lr_reduced = cbs.on_epoch_end(val_loss)
+        if improved:
             best_weights = (params, batch_stats)
-            es_wait = 0
             if save_best_fn is not None:
                 save_best_fn({"params": params, "batch_stats": batch_stats})
-        else:
-            es_wait += 1
-            if es_wait >= train_cfg.early_stop_patience:
-                stopped_epoch = epoch + 1
-                if verbose:
-                    print(f"Epoch {epoch + 1}: early stopping (restoring best weights)")
-                break
-
-        # ReduceLROnPlateau
-        if val_loss < rlr_best - train_cfg.reduce_lr_min_delta:
-            rlr_best = val_loss
-            rlr_wait = 0
-        else:
-            rlr_wait += 1
-            if rlr_wait >= train_cfg.reduce_lr_patience:
-                new_lr = max(lr * train_cfg.reduce_lr_factor, train_cfg.reduce_lr_min_lr)
-                if new_lr < lr:
-                    lr = new_lr
-                    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-                    if verbose:
-                        print(f"Epoch {epoch + 1}: ReduceLROnPlateau reducing lr to {lr:.2e}")
-                rlr_wait = 0
+        if lr_reduced:
+            lr = cbs.lr
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            if verbose:
+                print(f"Epoch {epoch + 1}: ReduceLROnPlateau reducing lr to {lr:.2e}")
+        if stop:
+            stopped_epoch = epoch + 1
+            if verbose:
+                print(f"Epoch {epoch + 1}: early stopping (restoring best weights)")
+            break
 
         if checkpoint_dir:
             from cell_image_analysis_tpu.train.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_dir, dict(
                 epoch=epoch, params=params, batch_stats=batch_stats,
-                opt_state=opt_state, key=key, lr=lr, best_val=best_val,
+                opt_state=opt_state, key=key, lr=lr, best_val=cbs.best_val,
                 best_params=best_weights[0], best_batch_stats=best_weights[1],
-                es_wait=es_wait, rlr_best=rlr_best, rlr_wait=rlr_wait,
+                es_wait=cbs.es_wait, rlr_best=cbs.rlr_best, rlr_wait=cbs.rlr_wait,
                 history=history.history, np_rng_state=rng.bit_generator.state,
             ))
 

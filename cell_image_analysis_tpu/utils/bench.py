@@ -109,15 +109,25 @@ _STARDIST_BACKENDS: dict = {}
 
 def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
                      prob_thresh: float | None = None, raster_cap: int = 128,
-                     runs_props: bool = True, unet_dtype: str = "float32"):
+                     runs_props: bool = True, unet_dtype: str = "float32",
+                     raster_mode: str | None = None, raster_tile: int | None = None,
+                     raster_m_cap: int | None = None):
     """Identity-stable StarDistBackend over the committed synthetic weights
     (the scoring graphs jit-cache on segment_fn identity)."""
     from cell_image_analysis_tpu.config import SegConfig
     from cell_image_analysis_tpu.models.segmentation import StarDistBackend
 
     kw = {} if prob_thresh is None else {"prob_thresh": prob_thresh}
+    if raster_mode is None:
+        raster_mode = os.environ.get("CIA_BENCH_SD_RMODE", SegConfig.raster_mode)
+    if raster_tile is None:
+        raster_tile = int(os.environ.get("CIA_BENCH_SD_TILE", SegConfig.raster_tile))
+    if raster_m_cap is None:
+        raster_m_cap = int(os.environ.get("CIA_BENCH_SD_MCAP", SegConfig.raster_m_cap))
+    kw.update(raster_mode=raster_mode, raster_tile=raster_tile,
+              raster_m_cap=raster_m_cap)
     key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props,
-           unet_dtype)
+           unet_dtype, raster_mode, raster_tile, raster_m_cap)
     if key not in _STARDIST_BACKENDS:
         cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch,
                         raster_cap=raster_cap, unet_dtype=unet_dtype, **kw)

@@ -65,7 +65,8 @@ def s1_forward(segs):
     def one(seg):
         x = normalize_percentile(seg, cfg.norm_pmin, cfg.norm_pmax)
         x = _pad_to_multiple(x, 2 ** cfg.unet_depth)
-        prob, dist = model.apply(variables, x[None, :, :, None], train=False)
+        from cell_image_analysis_tpu.models.unet import unet_apply
+        prob, dist = unet_apply(model, variables, x[None, :, :, None], train=False)
         return prob[0], dist[0]
     return jax.vmap(one)(segs)
 
@@ -98,10 +99,18 @@ def s3_nms(segs):
 
 @jax.jit
 def s4_raster(segs):
+    from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
+
     centers, cd, top_p, keep = s3_nms(segs)
-    labels = jax.vmap(lambda c, d, p, k: rasterize_polygons(
-        c, d, p, k, SIZE, SIZE, patch=cfg.raster_patch
-    ))(centers, cd, top_p, keep)
+    if cfg.raster_mode == "tiled" and SIZE % cfg.raster_tile == 0:
+        f = lambda c, d, p, k: rasterize_polygons_tiled(
+            c, d, p, k, SIZE, SIZE, tile=cfg.raster_tile,
+            m_cap=cfg.raster_m_cap, raster_cap=(cfg.raster_cap or None))
+    else:
+        f = lambda c, d, p, k: rasterize_polygons(
+            c, d, p, k, SIZE, SIZE, patch=cfg.raster_patch,
+            raster_cap=(cfg.raster_cap or None))
+    labels = jax.vmap(f)(centers, cd, top_p, keep)
     return labels
 
 

@@ -155,3 +155,56 @@ def test_rasterize_overlap_highest_prob_wins(rng):
     assert labels[50, 44] == 2  # only inside the low-prob polygon
     # contested pixels (inside both) belong to the higher-prob polygon
     assert labels[50, 50] == 1 and labels[50, 54] == 1
+
+
+def test_rasterize_tiled_equals_scatter(rng):
+    """rasterize_polygons_tiled must reproduce the scatter path exactly when
+    the scatter patch is large enough that nothing clips."""
+    from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
+
+    K, R, H, W = 24, 32, 128, 256
+    centers = np.stack([rng.uniform(-8, H + 8, K), rng.uniform(-8, W + 8, K)],
+                       1).astype(np.float32)
+    dists = rng.uniform(4.0, 18.0, (K, R)).astype(np.float32)
+    probs = rng.uniform(0.2, 1.0, K).astype(np.float32)
+    keep = rng.uniform(size=K) > 0.3
+    args = (jnp.asarray(centers), jnp.asarray(dists), jnp.asarray(probs),
+            jnp.asarray(keep))
+    ref = np.asarray(rasterize_polygons(*args, H, W, patch=64))
+    got = np.asarray(rasterize_polygons_tiled(*args, H, W, tile=64, m_cap=24))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_rasterize_tiled_equals_scatter_with_cap(rng):
+    from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
+
+    K, R, H, W = 40, 32, 128, 128
+    centers = np.stack([rng.uniform(0, H, K), rng.uniform(0, W, K)],
+                       1).astype(np.float32)
+    dists = rng.uniform(3.0, 10.0, (K, R)).astype(np.float32)
+    probs = rng.uniform(0.2, 1.0, K).astype(np.float32)
+    keep = rng.uniform(size=K) > 0.2
+    args = (jnp.asarray(centers), jnp.asarray(dists), jnp.asarray(probs),
+            jnp.asarray(keep))
+    ref = np.asarray(rasterize_polygons(*args, H, W, patch=48, raster_cap=16))
+    got = np.asarray(rasterize_polygons_tiled(*args, H, W, tile=32, m_cap=40,
+                                              raster_cap=16))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_rasterize_tiled_no_patch_clipping(rng):
+    """A polygon larger than the scatter patch renders fully in the tiled
+    path (the scatter path clips it — its one bounded approximation)."""
+    from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
+
+    R, H, W = 32, 256, 256
+    centers = jnp.asarray(np.array([[128.0, 128.0]], np.float32))
+    dists = jnp.asarray(np.full((1, R), 90.0, np.float32))
+    probs = jnp.asarray(np.array([0.9], np.float32))
+    keep = jnp.ones(1, bool)
+    got = np.asarray(rasterize_polygons_tiled(centers, dists, probs, keep,
+                                              H, W, tile=64, m_cap=4))
+    # radius-90 disc area fully rendered (pixel-center count ~ pi r^2)
+    area = int((got == 1).sum())
+    assert abs(area - np.pi * 90 * 90) < 400
+    assert got[128, 128 + 85] == 1 and got[128 + 85, 128] == 1

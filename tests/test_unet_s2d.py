@@ -1,0 +1,65 @@
+"""Parity of the space-to-depth U-Net fast forward vs the flax module.
+
+apply_unet_s2d rewrites level 0 (conv3x3 1->32, conv3x3 32->32, maxpool 2x2)
+into space-to-depth layout; the math is identical up to f32 conv
+reassociation, so prob/dist must agree to float tolerance on random inputs
+(reference forward: models/unet.StarDistUNet, architecture per SURVEY.md
+section 2.2.3 / CAE_improved_modeltrain.py:118).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cell_image_analysis_tpu.models.unet import (
+    StarDistUNet,
+    apply_unet_s2d,
+    init_unet,
+    unet_apply,
+)
+
+
+@pytest.fixture(scope="module")
+def unet():
+    return init_unet(jax.random.PRNGKey(3), size=64)
+
+
+def test_s2d_matches_flax_apply(unet):
+    model, variables = unet
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    prob, dist = apply_unet_s2d(model, variables, x)
+    assert prob.shape == prob_ref.shape and dist.shape == dist_ref.shape
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_unet_apply_dispatches_to_flax_for_odd_shapes(unet):
+    model, variables = unet
+    # odd spatial dims can't space-to-depth; must still run (flax path)
+    x = jnp.zeros((1, 66, 64, 1), jnp.float32)
+    prob, dist = unet_apply(model, variables, x)
+    assert prob.shape == (1, 33, 32)
+
+
+def test_s2d_matches_on_synthetic_weights(unet):
+    """Same check through the committed production weights (the bench/CLI
+    backend), on a frame-shaped input."""
+    from cell_image_analysis_tpu.utils.bench import load_synthetic_unet_variables
+
+    variables = load_synthetic_unet_variables()
+    model = StarDistUNet()
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(1, 128, 128, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    prob, dist = apply_unet_s2d(model, variables, x)
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
+                               rtol=1e-4, atol=1e-4)
