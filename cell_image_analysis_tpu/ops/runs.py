@@ -305,23 +305,23 @@ def regionprops_from_labels(
     nruns = jnp.sum(is_start.astype(jnp.int32), axis=1)
     overflow = jnp.any(nruns > rcap)
 
-    rank = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1
+    # top_k run table (the run_table impl="topk" pattern — scatter cost
+    # tracks TOTAL update volume, and the previous three full-frame
+    # (h, w)->(h, rcap) scatters measured ~135 ms per 8x1024^2 batch,
+    # dominating the whole StarDist stage A; two top_k's replace them).
+    # The start key packs the run's label into the low digits so no gather
+    # is needed to recover it: key = (w - c) * L + min(lab, capacity + 1);
+    # ordering by key == ordering by column (one start flag per column),
+    # and labels above `capacity` collapse into one id that routes to the
+    # dump segment exactly as the previous min(seg, capacity) did.
     c = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 1)
-    r2 = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
-    js = jnp.where(is_start, jnp.minimum(rank, rcap), rcap)
-    je = jnp.where(is_end, jnp.minimum(rank, rcap), rcap)
-    start = (
-        jnp.full((h, rcap + 1), w, jnp.int32)
-        .at[r2.ravel(), js.ravel()].set(c.ravel())[:, :rcap]
-    )
-    end = (
-        jnp.zeros((h, rcap + 1), jnp.int32)
-        .at[r2.ravel(), je.ravel()].set(c.ravel() + 1)[:, :rcap]
-    )
-    run_lab = (
-        jnp.zeros((h, rcap + 1), jnp.int32)
-        .at[r2.ravel(), js.ravel()].set(lab.ravel())[:, :rcap]
-    )
+    L = capacity + 2
+    plab = jnp.minimum(lab, capacity + 1)
+    vs, _ = jax.lax.top_k(jnp.where(is_start, (w - c) * L + plab, 0), rcap)
+    ve, _ = jax.lax.top_k(jnp.where(is_end, w - c, 0), rcap)
+    start = jnp.where(vs > 0, w - vs // L, w)
+    end = jnp.where(ve > 0, w - ve + 1, 0)
+    run_lab = jnp.where(vs > 0, vs % L, 0)
 
     vf = (end > 0).reshape(-1)
     seg = jnp.where(vf, run_lab.reshape(-1) - 1, capacity)
