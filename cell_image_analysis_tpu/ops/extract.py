@@ -539,14 +539,19 @@ def extract_candidates_from_labels_runs(
     max_eccentricity: float = 0.95,
     min_mean_intensity: float = 0.5,
     min_std_intensity: float = 0.1,
-    rcap: int = 64,
+    rcap: int = 32,
 ) -> tuple[Candidates, jax.Array]:
     """Stage A from an instance LABEL map via the run path (ops/runs.
     regionprops_from_labels): no CC (labels carry ids), no fg-pixel
     compaction, segment reductions over H*RCAP run slots — the StarDist
     backend's fast stage A (the pixel regionprops measured ~130 ms per
     8x1024^2 batch).  Returns the run-capacity overflow flag; callers route
-    to the exact pixel path when it is set (as with the mask path)."""
+    to the exact pixel path when it is set (as with the mask path).
+
+    rcap=32 default: the top_k run table scales with rcap and measured +8%
+    end-to-end over rcap=64 (scripts/sweep_fb_rcap.py) while bench plates
+    peak well below 32 runs/row; overflow falls back to the exact path, so
+    the knob trades speed only."""
     props, overflow = regionprops_from_labels(
         labels, capacity=label_capacity, rcap=rcap
     )

@@ -182,7 +182,10 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True,
         full_kw = dict(label_capacity=(segment_fn.cfg.raster_cap
                                        or segment_fn.cfg.max_candidates),
                        cell_capacity=128, fallback_segment_fn=fallback,
-                       rcap=int(os.environ.get("CIA_BENCH_SD_RUNS_RCAP", "64")),
+                       # rcap=32 measured +8% over 64 (scripts/sweep_fb_rcap);
+                       # overflow routes to the exact label path, so the knob
+                       # is a speed-only choice
+                       rcap=int(os.environ.get("CIA_BENCH_SD_RUNS_RCAP", "32")),
                        **kw)
     else:
         segment_fn = _threshold_mask_fn
