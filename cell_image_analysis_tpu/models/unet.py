@@ -112,8 +112,59 @@ def _s2d_kernel(W: jax.Array) -> jax.Array:
     return Wp
 
 
+def _d2s(x: jax.Array) -> jax.Array:
+    """Depth-to-space factor 2 (inverse of `_s2d`):
+    (B, H, W, 4C) -> (B, 2H, 2W, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def _s2d_kernel_1x1(W: jax.Array) -> jax.Array:
+    """Transform a 1x1 kernel (1, 1, Ci, Co) into the block-diagonal
+    (1, 1, 4Ci, 4Co) equivalent over space-to-depth tensors (each subpixel's
+    channels map only to that subpixel's outputs)."""
+    _, _, Ci, Co = W.shape
+    Wp = jnp.zeros((1, 1, 4 * Ci, 4 * Co), W.dtype)
+    for k in range(4):
+        Wp = Wp.at[0, 0, k * Ci:(k + 1) * Ci, k * Co:(k + 1) * Co].set(W[0, 0])
+    return Wp
+
+
+def _up_kernel(W: jax.Array) -> jax.Array:
+    """Transform a 3x3 SAME kernel (3, 3, Ci, Co) applied to the NEAREST-2x
+    upsample of h into an equivalent 3x3 SAME kernel (3, 3, Ci, 4Co) applied
+    to h directly, producing the four output subpixels as channel blocks
+    (space-to-depth layout, matching `_s2d`).
+
+    Output pixel (2i+a, 2j+b) of conv3x3(up) reads up[2i+a+u-1, 2j+b+v-1] =
+    h[(2i+a+u-1)//2, (2j+j..)//2]; for phase a the tap row offsets dr on h
+    are a=0: {u=0 -> -1, u=1,2 -> 0}, a=1: {u=0,1 -> 0, u=2 -> +1} (borders
+    hit the same SAME zero padding in both forms).  Taps mapping to the same
+    offset sum; exact up to f32 conv reassociation."""
+    kh, kw, Ci, Co = W.shape
+    assert (kh, kw) == (3, 3)
+    # rows[a][dr+1] = list of original tap indices u landing at offset dr
+    taps = {0: ([0], [1, 2], []), 1: ([], [0, 1], [2])}
+    Wp = jnp.zeros((3, 3, Ci, 4 * Co), W.dtype)
+    for a in range(2):
+        for b in range(2):
+            blk = jnp.zeros((3, 3, Ci, Co), W.dtype)
+            for dr in range(3):
+                for dc in range(3):
+                    acc = None
+                    for u in taps[a][dr]:
+                        for v in taps[b][dc]:
+                            acc = W[u, v] if acc is None else acc + W[u, v]
+                    if acc is not None:
+                        blk = blk.at[dr, dc].set(acc)
+            Wp = Wp.at[:, :, :, (a * 2 + b) * Co:(a * 2 + b + 1) * Co].set(blk)
+    return Wp
+
+
 def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
-                   train: bool = False):
+                   train: bool = False, tail_s2d: bool | None = None):
     """Fast functional forward for grid=(2,2): level 0 is computed in
     space-to-depth layout so the (B, H, W, 32) float32 activation — which
     pads 4x under the TPU's T(8, 128) tiling and is never consumed as a skip
@@ -125,7 +176,16 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
     but level-0 HBM traffic drops ~4x).
 
     Reads the exact `StarDistUNet.init` param pytree (Conv_0..Conv_14);
-    parity vs `model.apply` is tested in tests/test_unet_s2d.py."""
+    parity vs `model.apply` is tested in tests/test_unet_s2d.py.
+
+    `tail_s2d` additionally computes decoder level 1 + the heads in s2d
+    layout (None -> env `CIA_UNET_S2D_TAIL`, default off until the on-chip
+    A/B proves a win — scripts/probe_unet_ab.py; separate-session runs
+    measured no improvement over the standard tail)."""
+    if tail_s2d is None:
+        import os
+
+        tail_s2d = os.environ.get("CIA_UNET_S2D_TAIL", "0") == "1"
     assert model.grid == (2, 2) and model.depth == 3, "s2d path: grid (2,2)/depth 3"
     p = variables["params"]
     cdt = jnp.bfloat16 if model.dtype == "bfloat16" else jnp.float32
@@ -159,11 +219,48 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
     h = pool(h)
     h = nn.relu(conv(h, "Conv_6")); h = nn.relu(conv(h, "Conv_7"))
 
-    # decoder: levels 2, 1 (stop one above full res = grid (2,2))
-    for skip, c1, c2 in ((skip2, "Conv_8", "Conv_9"), (skip1, "Conv_10", "Conv_11")):
-        h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-        h = jnp.concatenate([h[:, : skip.shape[1], : skip.shape[2]], skip], axis=-1)
-        h = nn.relu(conv(h, c1)); h = nn.relu(conv(h, c2))
+    # decoder level 2 (standard layout; 128 channels already fill the lanes)
+    h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+    h = jnp.concatenate([h[:, : skip2.shape[1], : skip2.shape[2]], skip2], axis=-1)
+    h = nn.relu(conv(h, "Conv_8")); h = nn.relu(conv(h, "Conv_9"))
+
+    if tail_s2d and skip1.shape[1] % 2 == 0 and skip1.shape[2] % 2 == 0:
+        # decoder level 1 + head in s2d layout: the repeat/concat
+        # materialization and the half-empty 64-channel lanes at H/2 x W/2
+        # were the largest U-Net terms on TPU (scripts/probe_unet.py: dec L1
+        # ~14 ms of the ~38 ms device forward per 8x1024^2 batch).  The
+        # concat conv splits by input block: conv3x3(up, W[:128]) becomes a
+        # phase-assembled 3x3 conv on h directly (`_up_kernel`), and
+        # conv3x3(skip, W[128:]) an `_s2d_kernel` conv on s2d(skip1);
+        # everything through the 1x1 heads stays at H/4 x W/4 with full
+        # 128-lane channels.  Exact up to f32 conv reassociation.
+        W10 = p["Conv_10"]["kernel"]
+        up = conv(h, "", _up_kernel(W10[:, :, : h.shape[-1], :]),
+                  jnp.tile(p["Conv_10"]["bias"], 4))
+        sk = conv(_s2d(skip1), "",
+                  _s2d_kernel(W10[:, :, h.shape[-1]:, :]),
+                  jnp.zeros((), W10.dtype))
+        h = nn.relu(up + sk)
+        h = nn.relu(conv(h, "Conv_11", _s2d_kernel(p["Conv_11"]["kernel"]),
+                         jnp.tile(p["Conv_11"]["bias"], 4)))
+        feat = nn.relu(conv(h, "Conv_12", _s2d_kernel(p["Conv_12"]["kernel"]),
+                            jnp.tile(p["Conv_12"]["bias"], 4))).astype(jnp.float32)
+        prob = nn.sigmoid(_d2s(
+            jax.lax.conv_general_dilated(
+                feat, _s2d_kernel_1x1(p["Conv_13"]["kernel"]), (1, 1), "SAME",
+                dimension_numbers=dn) + jnp.tile(p["Conv_13"]["bias"], 4)
+        ))[..., 0]
+        dist = _d2s(nn.softplus(
+            jax.lax.conv_general_dilated(
+                feat, _s2d_kernel_1x1(p["Conv_14"]["kernel"]), (1, 1), "SAME",
+                dimension_numbers=dn) + jnp.tile(p["Conv_14"]["bias"], 4)
+        ))
+        return prob, dist
+
+    # odd H/2: decoder level 1 + head in standard layout
+    h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+    h = jnp.concatenate([h[:, : skip1.shape[1], : skip1.shape[2]], skip1], axis=-1)
+    h = nn.relu(conv(h, "Conv_10")); h = nn.relu(conv(h, "Conv_11"))
 
     feat = nn.relu(conv(h, "Conv_12")).astype(jnp.float32)
     prob = nn.sigmoid(

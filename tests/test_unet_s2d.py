@@ -39,6 +39,23 @@ def test_s2d_matches_flax_apply(unet):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_s2d_tail_matches_flax_apply(unet):
+    """The optional s2d decoder tail (level 1 + heads at H/4 via up-kernel /
+    s2d-kernel convs, env CIA_UNET_S2D_TAIL) is exact vs the flax module up
+    to f32 conv reassociation."""
+    model, variables = unet
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    prob, dist = apply_unet_s2d(model, variables, x, tail_s2d=True)
+    assert prob.shape == prob_ref.shape and dist.shape == dist_ref.shape
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_unet_apply_dispatches_to_flax_for_odd_shapes(unet):
     model, variables = unet
     # odd spatial dims can't space-to-depth; must still run (flax path)
