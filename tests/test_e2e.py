@@ -99,3 +99,34 @@ def test_screening_end_to_end(trained):
     assert wt["conservative_anomaly_rate"] < 0.30
     assert mut["moderate_anomaly_rate"] > wt["moderate_anomaly_rate"]
     assert mut["conservative_anomaly_rate"] > wt["conservative_anomaly_rate"]
+
+
+def test_screening_failure_paths(trained, tmp_path, capsys):
+    """Reference failure semantics (SURVEY.md section 2.2.8): empty folders
+    and zero-cell samples are skipped with a message (improved_detection.py:
+    168-170, 194-196); a corrupt TIFF is skipped with a per-file error log
+    and the rest of the folder still screens (improved_detection.py:113-115)."""
+    root, model_out, cfg = trained
+    empty_dir = str(tmp_path / "empty")
+    os.makedirs(empty_dir)
+    blank_dir = str(tmp_path / "blank")  # frames with no cells -> 0 QC cells
+    make_dataset(blank_dir, n_frames=1, size=384, n_cells=0, seed=4)
+    mixed_dir = str(tmp_path / "mixed")  # one good frame + one corrupt file
+    make_dataset(mixed_dir, n_frames=1, size=384, n_cells=22, seed=5)
+    with open(os.path.join(mixed_dir, "corrupt.tif"), "wb") as f:
+        f.write(b"not a tiff at all")
+
+    out = str(tmp_path / "screen_out")
+    screener = ProductionMutantScreening(model_out, cfg)
+    results, detailed = screener.screen_mutant_samples(
+        {"empty": empty_dir, "blank": blank_dir, "mixed": mixed_dir}, out
+    )
+    printed = capsys.readouterr().out
+    assert "No .tif files found" in printed
+    assert "Error processing" in printed and "corrupt.tif" in printed
+    assert set(results) == {"mixed"}  # empty + zero-cell samples skipped
+    assert results["mixed"]["total_cells"] > 5
+    for name in OUTPUT_FILES_SCREENING:
+        if name == "correlation_matrix.png":
+            continue  # reference: heatmap only when >1 sample (improved_detection.py:339)
+        assert os.path.exists(os.path.join(out, name)), name
