@@ -245,8 +245,11 @@ def _clahe_one(
             # D[p, t] = maps[t, bin(p)] — ONE matmul shared by all four
             # corners (the old per-corner rows = T_c @ maps spent 4x the
             # MXU FLOPs computing all 256 bins per pixel to use one).  Each
-            # corner is then a cheap one-hot contraction over tiles.  Both
-            # forms select exact f32 table entries, so this is
+            # corner is then a cheap one-hot contraction over tiles; the
+            # corner one-hots are exact 0/1 in bfloat16 (halving their HBM
+            # traffic) while maps stays f32 — its integer values reach
+            # NR_OF_GRAY-1 = 16383, beyond bf16's exact-integer range.
+            # Both forms select exact f32 table entries, so this is
             # bit-identical.
             D = jax.lax.dot_general(
                 Bm, maps_f, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -254,7 +257,7 @@ def _clahe_one(
             )                                # (pblk, n_tiles)
             vals = 0.0
             for c in range(4):
-                T = (ct[c][:, None] == tile_ids[None, :]).astype(jnp.float32)
+                T = (ct[c][:, None] == tile_ids[None, :]).astype(jnp.bfloat16)
                 picked = jnp.sum(T * D, axis=-1)
                 vals = vals + cw[c] * picked
             return None, vals

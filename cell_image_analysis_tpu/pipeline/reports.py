@@ -40,9 +40,31 @@ def _now() -> str:
 
 
 def save_run_parameters(output_dir: str, config: PipelineConfig, extra: dict | None = None) -> None:
+    """Reproducibility snapshot (the reference README's claimed 'execution
+    scripts and parameters are automatically saved' feature): full resolved
+    config + the exact invocation + environment (versions, devices)."""
     payload = dataclasses.asdict(config)
     if extra:
         payload["run"] = extra
+    import platform
+    import sys
+
+    env: dict = {
+        "argv": list(sys.argv),
+        "python": sys.version.split()[0],
+        "platform": platform.platform(),
+        "timestamp": _now(),
+    }
+    try:
+        import jax
+
+        env["jax"] = jax.__version__
+        # devices() may initialize a backend; never let a dead accelerator
+        # break report writing
+        env["devices"] = [str(d) for d in jax.devices()]
+    except Exception as e:  # pragma: no cover - backend-dependent
+        env["devices_error"] = f"{type(e).__name__}: {e}"
+    payload["environment"] = env
     with open(os.path.join(output_dir, "run_parameters.json"), "w") as f:
         json.dump(payload, f, indent=2, default=str)
 

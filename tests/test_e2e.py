@@ -52,6 +52,15 @@ def test_training_outputs_complete(trained):
     assert (stats["eccentricity"] <= 0.95).all()
     summary = pd.read_csv(os.path.join(out, "file_summary.csv"))
     assert list(summary.columns) == ["filename", "cells_extracted", "mean_cell_intensity"]
+    import json
+
+    with open(os.path.join(out, "run_parameters.json")) as f:
+        snap = json.load(f)
+    # reproducibility snapshot: resolved config + invocation + environment
+    # (reference README's 'scripts and parameters automatically saved')
+    assert "environment" in snap and "argv" in snap["environment"]
+    assert "python" in snap["environment"] and "jax" in snap["environment"]
+    assert "qc" in snap and "train" in snap
 
 
 def test_training_aborts_below_min_cells(trained, tmp_path):
