@@ -77,7 +77,9 @@ def main(argv=None):
     pb.add_argument("--frames", type=int, default=8)
     pb.add_argument("--size", type=int, default=1024)
     pb.add_argument("--cells-per-frame", type=int, default=80)
-    pb.add_argument("--backend", default="threshold",
+    # same default as bench.py (the headline measures the reference's actual
+    # StarDist stack) — the two documented bench entry points must agree
+    pb.add_argument("--backend", default="stardist",
                     choices=["threshold", "stardist"])
 
     args = parser.parse_args(argv)
@@ -111,18 +113,12 @@ def main(argv=None):
             print("--backend stardist without --unet-weights and no bundled "
                   "weights found: falling back to the threshold backend")
     if weights_path:
-        import pickle
+        from cell_image_analysis_tpu.utils.bench import load_synthetic_unet_variables
 
-        with open(weights_path, "rb") as f:
-            payload = pickle.load(f)
-        magic = payload.get("magic", "") if isinstance(payload, dict) else ""
-        if magic == "cell_image_analysis_tpu/unet-synthetic-v1":
+        try:
             # scripts/make_unet_weights.py artifact: bare conv params
-            import jax.numpy as jnp
-            import jax
-
-            unet_variables = {"params": jax.tree.map(jnp.asarray, payload["params"])}
-        else:
+            unet_variables = load_synthetic_unet_variables(weights_path)
+        except ValueError:
             from cell_image_analysis_tpu.io.artifacts import load_cae  # generic pytree loader
 
             unet_variables = load_cae(weights_path)[1]

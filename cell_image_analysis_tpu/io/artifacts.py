@@ -149,8 +149,10 @@ def load_screening_artifacts(model_dir: str):
         ensemble = EnsembleDetector(mse_threshold=d["mse_threshold"], min_votes=d["min_votes"])
     fft_path = os.path.join(model_dir, "detector_fft.pkl")
     if os.path.exists(fft_path):
-        detectors["FFT"] = _load_pickle(fft_path)
-        detectors["FFT_scaler"] = _load_pickle(os.path.join(model_dir, "fft_scaler.pkl"))
+        # same sklearn sniffing as the core estimators — a reference-style
+        # directory may hold sklearn-pickled FFT artifacts too
+        detectors["FFT"] = _load_est(fft_path)
+        detectors["FFT_scaler"] = _load_est(os.path.join(model_dir, "fft_scaler.pkl"))
     return model, variables, scaler, pca, detectors, ensemble
 
 

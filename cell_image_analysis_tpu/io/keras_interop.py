@@ -280,7 +280,8 @@ def convert_sklearn_ocsvm(sk) -> "Any":
 
 
 # ---------------------------------------------------------------------------
-# Directory-level import: real reference artifacts -> screening inputs
+# Format sniffing + conversion (used by io/artifacts.load_screening_artifacts,
+# the single directory-level loader — reference: improved_detection.py:23-46)
 # ---------------------------------------------------------------------------
 
 def _is_keras_file(path: str) -> bool:
@@ -301,48 +302,3 @@ def _maybe_convert(obj):
             return convert_sklearn_ocsvm(obj)
         raise ValueError(f"unsupported sklearn artifact: {name}")
     return obj
-
-
-def load_reference_artifacts(model_dir: str):
-    """Load a model directory that may contain REAL reference artifacts
-    (Keras `.keras`/`.h5` models, sklearn pickles) or this framework's native
-    ones, converting as needed.  Returns the same tuple as
-    io/artifacts.load_screening_artifacts: (model, variables, scaler, pca,
-    detectors, ensemble).  Reference: improved_detection.py:23-46."""
-    import pickle
-
-    from cell_image_analysis_tpu import config as C
-    from cell_image_analysis_tpu.io import artifacts as A
-
-    cae_path = os.path.join(model_dir, C.ARTIFACT_BEST_AUTOENCODER)
-    if _is_keras_file(cae_path):
-        model, variables = load_keras_cae(cae_path)
-    else:
-        model, variables = A.load_cae(cae_path)
-
-    def pkl(name):
-        with open(os.path.join(model_dir, name), "rb") as f:
-            return _maybe_convert(pickle.load(f))
-
-    scaler = pkl(C.ARTIFACT_SCALER)
-    pca = pkl(C.ARTIFACT_PCA)
-    detectors = {
-        "Conservative": pkl(C.ARTIFACT_DETECTOR_CONSERVATIVE),
-        "Moderate": pkl(C.ARTIFACT_DETECTOR_MODERATE),
-    }
-    ens_path = os.path.join(model_dir, "ensemble.json")
-    ensemble = None
-    if os.path.exists(ens_path):
-        import json
-
-        from cell_image_analysis_tpu.models.ensemble import EnsembleDetector
-
-        with open(ens_path) as f:
-            d = json.load(f)
-        ensemble = EnsembleDetector(mse_threshold=d["mse_threshold"],
-                                    min_votes=d["min_votes"])
-    fft_path = os.path.join(model_dir, "detector_fft.pkl")
-    if os.path.exists(fft_path):
-        detectors["FFT"] = pkl("detector_fft.pkl")
-        detectors["FFT_scaler"] = pkl("fft_scaler.pkl")
-    return model, variables, scaler, pca, detectors, ensemble

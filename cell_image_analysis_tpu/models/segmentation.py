@@ -132,6 +132,10 @@ class StarDistBackend:
     normalized segmentation channel)."""
 
     returns_mask = False
+    # __call__ returns (labels, overflow): overflow=True means the tiled
+    # rasterizer dropped cells (per-tile m_cap exceeded) and the scoring
+    # host must re-run with the fallback backend (raster_mode="scatter")
+    returns_overflow = True
 
     def __init__(self, variables: dict, cfg: SegConfig = SegConfig(), model=None,
                  runs_props: bool = True):
@@ -151,13 +155,13 @@ class StarDistBackend:
             grid=cfg.grid, dtype=cfg.unet_dtype,
         )
 
-    def __call__(self, seg_channel: jax.Array) -> jax.Array:
+    def __call__(self, seg_channel: jax.Array):
         from cell_image_analysis_tpu.models.stardist import predict_instances
 
-        labels, _ = predict_instances(
+        labels, details = predict_instances(
             seg_channel, self.variables, self.cfg, model=self.model
         )
-        return labels
+        return labels, details.raster_overflow
 
 
 def segment_frame(seg_channel: jax.Array, cfg: SegConfig = SegConfig(), unet_variables=None) -> jax.Array:

@@ -34,6 +34,10 @@ class InstanceDetails(NamedTuple):
     dists: jax.Array   # (K, R)
     probs: jax.Array   # (K,)
     keep: jax.Array    # (K,) bool — surviving instances
+    # scalar bool: the tiled rasterizer dropped polygons in some tile
+    # (per-tile m_cap exceeded) — labels are missing cells; re-render with
+    # raster_mode="scatter".  Always False on the scatter path.
+    raster_overflow: jax.Array
 
 
 def _pad_to_multiple(x: jax.Array, m: int) -> jax.Array:
@@ -84,13 +88,15 @@ def _predict_instances_impl(
     if raster_mode == "tiled" and height % raster_tile == 0 and width % raster_tile == 0:
         from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
 
-        labels = rasterize_polygons_tiled(centers, cand_dists, top_p, keep,
-                                          height, width, tile=raster_tile,
-                                          m_cap=raster_m_cap, raster_cap=raster_cap)
+        labels, r_ovf = rasterize_polygons_tiled(centers, cand_dists, top_p, keep,
+                                                 height, width, tile=raster_tile,
+                                                 m_cap=raster_m_cap, raster_cap=raster_cap)
     else:
         labels = rasterize_polygons(centers, cand_dists, top_p, keep, height, width,
                                     patch=patch, raster_cap=raster_cap)
-    return labels, InstanceDetails(points=centers, dists=cand_dists, probs=top_p, keep=keep)
+        r_ovf = jnp.any(keep) & False
+    return labels, InstanceDetails(points=centers, dists=cand_dists, probs=top_p,
+                                   keep=keep, raster_overflow=r_ovf)
 
 
 def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = SegConfig(),

@@ -446,6 +446,8 @@ def _candidates_batch(segs, greens, segment_fn, ckw):
 
     def one(seg, green):
         labels = segment_fn(seg)
+        if getattr(segment_fn, "returns_overflow", False):
+            labels, _ = labels  # raster overflow handled by the scoring paths
         # uint16 label map rides along for host-side report stats (solidity
         # needs the full map; uint16 halves the tunnel transfer, and label
         # capacities are << 65536)

@@ -110,6 +110,11 @@ def rasterize_polygons_tiled(
     approximation: a tile with more than `m_cap` overlapping kept polygons
     drops the lowest-priority ones *in that tile* (deterministic,
     descending-prob — the same bounded-capacity class as `raster_cap`).
+    That drop is reported: returns `(labels, overflow)` where `overflow` is
+    a scalar bool, True iff any tile's kept-polygon incidence exceeded
+    `m_cap` — callers re-render with the scatter path (no per-tile cap)
+    when it fires, keeping the capacity-knob contract (overflow -> exact
+    fallback, CLAUDE.md) intact.
 
     `height`/`width` must be multiples of `tile`."""
     assert height % tile == 0 and width % tile == 0, "frame not tile-aligned"
@@ -131,7 +136,10 @@ def rasterize_polygons_tiled(
     hit = hit.reshape(-1, T)                                  # (K, T)
 
     slot_score = jnp.where(hit, keys[:, None], 0)             # (K, T)
+    full_cap = m_cap >= hit.shape[0]
     m_cap = min(m_cap, hit.shape[0])
+    overflow = (jnp.any(jnp.sum(hit, axis=0) > m_cap)
+                if not full_cap else jnp.any(keep) & False)
     top_key, top_idx = jax.lax.top_k(slot_score.T, m_cap)     # (T, m_cap)
     cen_t = centers[top_idx]                                  # (T, m_cap, 2)
     dist_t = dists[top_idx]                                   # (T, m_cap, R)
@@ -164,7 +172,7 @@ def rasterize_polygons_tiled(
     labels = jnp.where(acc > 0, 0xFFFF - (acc & 0xFFFF), 0).astype(jnp.int32)
     return (labels.reshape(Ty, Tx, tile, tile)
             .transpose(0, 2, 1, 3)
-            .reshape(height, width))
+            .reshape(height, width)), overflow
 
 
 @partial(jax.jit, static_argnames=("height", "width", "patch", "raster_cap"))

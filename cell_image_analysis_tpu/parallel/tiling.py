@@ -88,6 +88,8 @@ def tiled_extract_cells(
     min_std_intensity: float = 0.1,
     connectivity: int = 1,
     opening: bool = True,
+    norm_pmin: float = 3.0,
+    norm_pmax: float = 99.8,
 ) -> TiledCells:
     """Threshold-backend segmentation + extraction over row-sharded tiles.
 
@@ -106,7 +108,7 @@ def tiled_extract_cells(
     # handled by jit's automatic partitioner, not the explicit exchange)
     from cell_image_analysis_tpu.models.segmentation import binary_opening
 
-    norm = normalize_percentile(seg_channel)
+    norm = normalize_percentile(seg_channel, pmin=norm_pmin, pmax=norm_pmax)
     thresh = percentile(norm, threshold_percentile)
     mask = norm > thresh
     if opening:

@@ -246,11 +246,24 @@ def _stage_a_one(segment_fn, candidate_kwargs, seg, green):
     regionprops path (ops/runs.py — measured 88 vs 259 ms per 8-frame batch
     on the production TPU) and contributes a per-frame run-capacity overflow
     flag, broadcast into row 8 of the packed stats so the host can trigger
-    the exact label-map fallback.  Label-map segment_fns pack zeros there."""
+    the exact label-map fallback.  Label-map segment_fns pack zeros there.
+
+    A segment_fn with `returns_overflow = True` (the StarDist backend)
+    returns (labels, seg_overflow); its flag — e.g. the tiled rasterizer's
+    per-tile m_cap drop — ORs into row 8 so the same host fallback fires."""
     kw = dict(candidate_kwargs)
+
+    def segment(seg):
+        if getattr(segment_fn, "returns_overflow", False):
+            return segment_fn(seg)
+        return segment_fn(seg), None
+
     if getattr(segment_fn, "returns_mask", False):
         kw.pop("fg_fraction", None)
-        cand, overflow = extract_candidates_from_mask(segment_fn(seg), green, **kw)
+        mask, seg_ovf = segment(seg)
+        cand, overflow = extract_candidates_from_mask(mask, green, **kw)
+        if seg_ovf is not None:
+            overflow = overflow | seg_ovf
         ovf = jnp.full(cand.valid.shape, overflow, jnp.float32)
     elif getattr(segment_fn, "runs_props", False):
         # label map whose stats run through the run-length regionprops
@@ -262,15 +275,18 @@ def _stage_a_one(segment_fn, candidate_kwargs, seg, green):
 
         kw.pop("fg_fraction", None)
         kw.pop("connectivity", None)
-        cand, overflow = extract_candidates_from_labels_runs(
-            segment_fn(seg), green, **kw
-        )
+        labels, seg_ovf = segment(seg)
+        cand, overflow = extract_candidates_from_labels_runs(labels, green, **kw)
+        if seg_ovf is not None:
+            overflow = overflow | seg_ovf
         ovf = jnp.full(cand.valid.shape, overflow, jnp.float32)
     else:
         kw.pop("rcap", None)
         kw.pop("connectivity", None)
-        cand = extract_candidates(segment_fn(seg), green, **kw)
-        ovf = jnp.zeros(cand.valid.shape, jnp.float32)
+        labels, seg_ovf = segment(seg)
+        cand = extract_candidates(labels, green, **kw)
+        ovf = (jnp.zeros(cand.valid.shape, jnp.float32) if seg_ovf is None
+               else jnp.full(cand.valid.shape, seg_ovf, jnp.float32))
     packed = jnp.stack([
         cand.valid.astype(jnp.float32), cand.heights.astype(jnp.float32),
         cand.widths.astype(jnp.float32), cand.label_ids.astype(jnp.float32),
@@ -625,7 +641,8 @@ def score_frames_fused_wait(pend: dict) -> tuple:
     return out, stats
 
 
-def compute_anomaly_scores(model: CAE, params: ScoringParams, cells, valid=None) -> dict:
+def compute_anomaly_scores(model: CAE, params: ScoringParams, cells, valid=None,
+                           min_votes: int = 2) -> dict:
     """Host-facing wrapper with the reference's dict schema
     (improved_detection.py:144-153), plus ensemble + FFT extensions.
 
@@ -636,7 +653,7 @@ def compute_anomaly_scores(model: CAE, params: ScoringParams, cells, valid=None)
         X = X[..., None]
     if X.shape[0] == 0:
         return {}
-    s = score_cells(model, params, X)
+    s = score_cells(model, params, X, min_votes=min_votes)
     if valid is None:
         v = np.ones(X.shape[0], bool)
     else:

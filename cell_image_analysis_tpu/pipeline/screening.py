@@ -74,8 +74,13 @@ class ProductionMutantScreening:
                     seg_cfg, raster_cap=config.extract.cell_capacity
                 )
             self._segment = StarDistBackend(unet_variables, seg_cfg)
+            # exact twin for overflow re-runs: pixel-path stats AND scatter
+            # rasterization (the tiled per-tile m_cap can drop cells on
+            # dense plates — its overflow flag routes here)
             self._segment_fallback = StarDistBackend(
-                unet_variables, seg_cfg, runs_props=False
+                unet_variables,
+                dataclasses.replace(seg_cfg, raster_mode="scatter"),
+                runs_props=False,
             )
         self.load_trained_models()
 
@@ -136,7 +141,9 @@ class ProductionMutantScreening:
                 from cell_image_analysis_tpu.parallel.sharding import shard_batch
                 block = shard_batch(self.mesh, block)
             chunks.append(
-                compute_anomaly_scores(self.model, self.scoring_params, block, valid=valid)
+                compute_anomaly_scores(self.model, self.scoring_params, block,
+                                       valid=valid,
+                                       min_votes=self.config.ensemble.min_votes)
             )
         keys_concat = [
             "reconstruction_mse", "reconstruction_mae",
@@ -254,6 +261,8 @@ class ProductionMutantScreening:
                     crop_capacity=cfg.extract.crop_capacity,
                     out_size=cfg.extract.out_size,
                     threshold_percentile=cfg.seg.threshold_percentile,
+                    norm_pmin=cfg.seg.norm_pmin,
+                    norm_pmax=cfg.seg.norm_pmax,
                     border_margin=cfg.qc.border_margin,
                     min_area=cfg.qc.min_area,
                     max_area=cfg.qc.max_area,
@@ -263,7 +272,8 @@ class ProductionMutantScreening:
                 )
                 valid = np.asarray(tiled.valid)
                 scores = _score_cells_fn(
-                    self.model, self.scoring_params, tiled.cells, valid=valid
+                    self.model, self.scoring_params, tiled.cells, valid=valid,
+                    min_votes=cfg.ensemble.min_votes,
                 )
             if scores:
                 n = len(scores["reconstruction_mse"])

@@ -72,7 +72,8 @@ def _fit_params(seed: int = 0):
         ens,
     )
     host = dict(model=model, variables=variables, scaler=scaler, pca=pca,
-                cons=cons, mod=mod, ens=ens)
+                cons=cons, mod=mod, ens=ens,
+                fft_scaler=fft_scaler, fft_det=fft_det)
     return model, params, host
 
 
@@ -88,19 +89,23 @@ def _threshold_mask_fn(s):
 _threshold_mask_fn.returns_mask = True
 
 
-def load_synthetic_unet_variables() -> dict:
+def load_synthetic_unet_variables(path: str | None = None) -> dict:
     """Committed in-framework-trained U-Net weights for the StarDist backend
     (scripts/make_unet_weights.py — the no-network stand-in for the
-    reference's downloaded `2D_versatile_fluo`)."""
+    reference's downloaded `2D_versatile_fluo`).  Raises ValueError when the
+    file is not a make_unet_weights artifact (callers may then fall back to
+    the generic pytree loader, io/artifacts.load_cae)."""
     import pickle
 
     import jax.numpy as jnp
     import jax
 
-    with open(_UNET_WEIGHTS_PATH, "rb") as f:
+    path = path or _UNET_WEIGHTS_PATH
+    with open(path, "rb") as f:
         payload = pickle.load(f)
-    if payload.get("magic") != "cell_image_analysis_tpu/unet-synthetic-v1":
-        raise ValueError(f"{_UNET_WEIGHTS_PATH}: unexpected payload")
+    magic = payload.get("magic", "") if isinstance(payload, dict) else ""
+    if magic != "cell_image_analysis_tpu/unet-synthetic-v1":
+        raise ValueError(f"{path}: unexpected payload")
     return {"params": jax.tree.map(jnp.asarray, payload["params"])}
 
 
@@ -177,8 +182,10 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True,
             unet_dtype=os.environ.get("CIA_BENCH_SD_DTYPE", "float32"),
         )
         segment_fn = stardist_backend(**sd_kw)
-        # exact-pixel-path twin: re-run target on run-table overflow
-        fallback = stardist_backend(runs_props=False, **sd_kw)
+        # exact twin: re-run target on run-table OR tiled-raster (per-tile
+        # m_cap) overflow — pixel-path stats, scatter raster (no tile cap)
+        fallback = stardist_backend(runs_props=False, raster_mode="scatter",
+                                    **sd_kw)
         full_kw = dict(label_capacity=(segment_fn.cfg.raster_cap
                                        or segment_fn.cfg.max_candidates),
                        cell_capacity=128, fallback_segment_fn=fallback,

@@ -209,7 +209,7 @@ def measure_parity(n_frames: int = 4, size: int = 512, n_cells: int = 30,
         from cell_image_analysis_tpu.utils.bench import _keras_unet_segment_cpu
 
         sd = stardist_backend()
-        fallback = stardist_backend(runs_props=False)
+        fallback = stardist_backend(runs_props=False, raster_mode="scatter")
         scores, stats = score_frames_fused(
             model, params,
             jnp.asarray(stack[..., 2].astype(np.float32)),

@@ -75,7 +75,7 @@ MCAP = int(os.environ.get("MCAP", "16"))
 def raster_tiled(centers, cd, top_p, keep):
     return jax.vmap(lambda c, d, p, k: rasterize_polygons_tiled(
         c, d, p, k, SIZE, SIZE, tile=TILE, m_cap=MCAP,
-        raster_cap=cfg.raster_cap or None))(centers, cd, top_p, keep)
+        raster_cap=cfg.raster_cap or None)[0])(centers, cd, top_p, keep)
 
 
 def t(name, fn, reps=4):

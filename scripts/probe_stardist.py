@@ -105,7 +105,7 @@ def s4_raster(segs):
     if cfg.raster_mode == "tiled" and SIZE % cfg.raster_tile == 0:
         f = lambda c, d, p, k: rasterize_polygons_tiled(
             c, d, p, k, SIZE, SIZE, tile=cfg.raster_tile,
-            m_cap=cfg.raster_m_cap, raster_cap=(cfg.raster_cap or None))
+            m_cap=cfg.raster_m_cap, raster_cap=(cfg.raster_cap or None))[0]
     else:
         f = lambda c, d, p, k: rasterize_polygons(
             c, d, p, k, SIZE, SIZE, patch=cfg.raster_patch,

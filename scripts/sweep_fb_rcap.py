@@ -15,10 +15,13 @@ jaxcache.enable()
 
 from cell_image_analysis_tpu.utils.bench import run_tpu_bench  # noqa: E402
 
+# NOTE: the bench default is now rcap=32 (this sweep's outcome) — every
+# config pins CIA_BENCH_SD_RUNS_RCAP explicitly so the A/B stays
+# reproducible regardless of the default.
 CONFIGS = [
-    ("fb=8 rcap=64 (current)", 8, {}),
-    ("fb=16 rcap=64", 16, {}),
-    ("fb=8 rcap=32", 8, {"CIA_BENCH_SD_RUNS_RCAP": "32"}),
+    ("fb=8 rcap=64", 8, {"CIA_BENCH_SD_RUNS_RCAP": "64"}),
+    ("fb=16 rcap=64", 16, {"CIA_BENCH_SD_RUNS_RCAP": "64"}),
+    ("fb=8 rcap=32 (current default)", 8, {"CIA_BENCH_SD_RUNS_RCAP": "32"}),
 ]
 
 for name, fb, env in CONFIGS:

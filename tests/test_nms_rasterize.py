@@ -171,7 +171,7 @@ def test_rasterize_tiled_equals_scatter(rng):
     args = (jnp.asarray(centers), jnp.asarray(dists), jnp.asarray(probs),
             jnp.asarray(keep))
     ref = np.asarray(rasterize_polygons(*args, H, W, patch=64))
-    got = np.asarray(rasterize_polygons_tiled(*args, H, W, tile=64, m_cap=24))
+    got = np.asarray(rasterize_polygons_tiled(*args, H, W, tile=64, m_cap=24)[0])
     np.testing.assert_array_equal(got, ref)
 
 
@@ -188,8 +188,62 @@ def test_rasterize_tiled_equals_scatter_with_cap(rng):
             jnp.asarray(keep))
     ref = np.asarray(rasterize_polygons(*args, H, W, patch=48, raster_cap=16))
     got = np.asarray(rasterize_polygons_tiled(*args, H, W, tile=32, m_cap=40,
-                                              raster_cap=16))
+                                              raster_cap=16)[0])
     np.testing.assert_array_equal(got, ref)
+
+
+def test_rasterize_tiled_mcap_overflow_flag(rng):
+    """Per-tile m_cap drops must be REPORTED: >m_cap kept polygons incident
+    on one tile set the overflow flag (the scoring host then re-renders with
+    the scatter path); below the cap the flag stays False."""
+    from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
+
+    K, R, H, W = 12, 32, 128, 128
+    # 12 small polygons all inside tile (0, 0)
+    centers = np.stack([rng.uniform(8, 24, K), rng.uniform(8, 24, K)],
+                       1).astype(np.float32)
+    dists = rng.uniform(2.0, 4.0, (K, R)).astype(np.float32)
+    probs = rng.uniform(0.2, 1.0, K).astype(np.float32)
+    keep = jnp.ones(K, bool)
+    args = (jnp.asarray(centers), jnp.asarray(dists), jnp.asarray(probs), keep)
+    _, ovf = rasterize_polygons_tiled(*args, H, W, tile=32, m_cap=8)
+    assert bool(ovf)
+    labels, ovf = rasterize_polygons_tiled(*args, H, W, tile=32, m_cap=12)
+    assert not bool(ovf)
+    # with capacity for all of them, nothing is dropped
+    assert len(np.unique(np.asarray(labels))) == K + 1
+
+
+def test_stage_a_ors_segment_overflow_into_row8():
+    """A returns_overflow segment_fn's flag must reach packed-stats row 8 so
+    score_frames triggers the exact fallback (the tiled rasterizer's m_cap
+    drop is otherwise silent cell loss)."""
+    from cell_image_analysis_tpu.pipeline.scoring import _stage_a_one
+
+    H = W = 64
+    lab = np.zeros((H, W), np.int32)
+    lab[20:33, 20:33] = 1
+
+    def seg_overflowing(seg):
+        labels = jnp.asarray(lab)
+        return labels, jnp.any(labels > 0)  # overflow=True, data-derived
+
+    seg_overflowing.returns_overflow = True
+    kw = dict(label_capacity=16, cell_capacity=8, crop_capacity=48,
+              border_margin=2, min_area=4, max_area=4000,
+              max_eccentricity=1.0, min_mean_intensity=0.0,
+              min_std_intensity=0.0)
+    green = jnp.asarray(np.random.default_rng(0).uniform(
+        0.6, 1.0, (H, W)).astype(np.float32))
+    _, _, _, packed = _stage_a_one(seg_overflowing, kw, jnp.asarray(lab, jnp.float32), green)
+    assert float(packed[8].max()) == 1.0
+
+    def seg_clean(seg):
+        return jnp.asarray(lab), jnp.any(jnp.asarray(lab) > 0) & False
+
+    seg_clean.returns_overflow = True
+    _, _, _, packed = _stage_a_one(seg_clean, kw, jnp.asarray(lab, jnp.float32), green)
+    assert float(packed[8].max()) == 0.0
 
 
 def test_rasterize_tiled_no_patch_clipping(rng):
@@ -202,8 +256,10 @@ def test_rasterize_tiled_no_patch_clipping(rng):
     dists = jnp.asarray(np.full((1, R), 90.0, np.float32))
     probs = jnp.asarray(np.array([0.9], np.float32))
     keep = jnp.ones(1, bool)
-    got = np.asarray(rasterize_polygons_tiled(centers, dists, probs, keep,
-                                              H, W, tile=64, m_cap=4))
+    got, ovf = rasterize_polygons_tiled(centers, dists, probs, keep,
+                                        H, W, tile=64, m_cap=4)
+    got = np.asarray(got)
+    assert not bool(ovf)  # one polygon never exceeds the per-tile cap
     # radius-90 disc area fully rendered (pixel-center count ~ pi r^2)
     area = int((got == 1).sum())
     assert abs(area - np.pi * 90 * 90) < 400
