@@ -22,7 +22,7 @@ log "4. raster m_cap=8"
 run env CIA_BENCH_SD_MCAP=8 python bench.py
 
 log "5. raster tile=64 m_cap=8"
-CIA_BENCH_SD_TILE=64 run env CIA_BENCH_SD_MCAP=8 python bench.py
+run env CIA_BENCH_SD_TILE=64 CIA_BENCH_SD_MCAP=8 python bench.py
 
 log "6. decoder-tail micro A/B"
 run python scripts/probe_unet_ab.py 8 1024
