@@ -24,6 +24,9 @@ run env CIA_BENCH_SD_MCAP=8 python bench.py
 log "5. raster tile=64 m_cap=8"
 run env CIA_BENCH_SD_TILE=64 CIA_BENCH_SD_MCAP=8 python bench.py
 
+log "5b. bf16 U-Net conv stack (re-measure post-s2d-level0; was marginal)"
+run env CIA_BENCH_SD_DTYPE=bfloat16 python bench.py
+
 log "6. decoder-tail micro A/B"
 run python scripts/probe_unet_ab.py 8 1024
 
