@@ -132,8 +132,29 @@ def fwd_s2d_nod2s(x):
     return prob.sum() + dist.sum()
 
 
+@jax.jit
+def fwd_hybrid(x):
+    """Phase-kernel up-conv at H/4 (same FLOPs as the standard conv3x3 over
+    the upsample — the tap structure is exactly 1/4-dense), d2s back to
+    standard layout before Conv_11: avoids materializing the 512^2 x 192
+    upsample+concat tensor WITHOUT the 4x FLOP blowup of the full-s2d tail
+    (s2d 3x3 kernels are 75% zero blocks the MXU still multiplies)."""
+    h, skip1 = trunk(x)
+    W10 = p["Conv_10"]["kernel"]
+    up = conv(h, "", _up_kernel(W10[:, :, : h.shape[-1], :]),
+              jnp.tile(p["Conv_10"]["bias"], 4))        # (B, H/4, W/4, 4*64)
+    sk = conv(skip1, "", W10[:, :, h.shape[-1]:, :],
+              jnp.zeros((), W10.dtype))                 # (B, H/2, W/2, 64)
+    h = nn.relu(_d2s(up) + sk)
+    h = nn.relu(conv(h, "Conv_11"))
+    feat = nn.relu(conv(h, "Conv_12"))
+    prob = nn.sigmoid(conv(feat, "Conv_13"))[..., 0]
+    dist = nn.softplus(conv(feat, "Conv_14"))
+    return prob.sum() + dist.sum()
+
+
 FNS = [("std decoder ", fwd_std), ("s2d decoder ", fwd_s2d),
-       ("s2d no-d2s  ", fwd_s2d_nod2s)]
+       ("s2d no-d2s  ", fwd_s2d_nod2s), ("hybrid up   ", fwd_hybrid)]
 
 print(f"probe_unet_ab: batch={BATCH} size={SIZE}", flush=True)
 for name, fn in FNS:  # compile
