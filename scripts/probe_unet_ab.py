@@ -153,8 +153,51 @@ def fwd_hybrid(x):
     return prob.sum() + dist.sum()
 
 
+def trunk_hybrid(x):
+    """Encoder (s2d level 0) + HYBRID dec L2: up-conv phase kernels at H/8,
+    d2s, + skip conv — avoids the (H/4)^2 x 384 upsample+concat tensor."""
+    from cell_image_analysis_tpu.models.unet import _s2d_kernel as sk
+    f = 32
+    h = _s2d(x)
+    h = nn.relu(conv(h, "Conv_0", sk(p["Conv_0"]["kernel"]),
+                     jnp.tile(p["Conv_0"]["bias"], 4)))
+    h = nn.relu(conv(h, "Conv_1", sk(p["Conv_1"]["kernel"]),
+                     jnp.tile(p["Conv_1"]["bias"], 4)))
+    b_, hh, ww, _ = h.shape
+    h = h.reshape(b_, hh, ww, 2, 2, f).max(axis=(3, 4))
+    h = nn.relu(conv(h, "Conv_2")); h = nn.relu(conv(h, "Conv_3")); skip1 = h
+    h = pool(h)
+    h = nn.relu(conv(h, "Conv_4")); h = nn.relu(conv(h, "Conv_5")); skip2 = h
+    h = pool(h)
+    h = nn.relu(conv(h, "Conv_6")); h = nn.relu(conv(h, "Conv_7"))
+    W8 = p["Conv_8"]["kernel"]
+    up = conv(h, "", _up_kernel(W8[:, :, : h.shape[-1], :]),
+              jnp.tile(p["Conv_8"]["bias"], 4))
+    sk8 = conv(skip2, "", W8[:, :, h.shape[-1]:, :], jnp.zeros((), W8.dtype))
+    h = nn.relu(_d2s(up) + sk8)
+    h = nn.relu(conv(h, "Conv_9"))
+    return h, skip1
+
+
+@jax.jit
+def fwd_hybrid2(x):
+    """Hybrid up-conv at BOTH decoder levels."""
+    h, skip1 = trunk_hybrid(x)
+    W10 = p["Conv_10"]["kernel"]
+    up = conv(h, "", _up_kernel(W10[:, :, : h.shape[-1], :]),
+              jnp.tile(p["Conv_10"]["bias"], 4))
+    sk = conv(skip1, "", W10[:, :, h.shape[-1]:, :], jnp.zeros((), W10.dtype))
+    h = nn.relu(_d2s(up) + sk)
+    h = nn.relu(conv(h, "Conv_11"))
+    feat = nn.relu(conv(h, "Conv_12"))
+    prob = nn.sigmoid(conv(feat, "Conv_13"))[..., 0]
+    dist = nn.softplus(conv(feat, "Conv_14"))
+    return prob.sum() + dist.sum()
+
+
 FNS = [("std decoder ", fwd_std), ("s2d decoder ", fwd_s2d),
-       ("s2d no-d2s  ", fwd_s2d_nod2s), ("hybrid up   ", fwd_hybrid)]
+       ("s2d no-d2s  ", fwd_s2d_nod2s), ("hybrid up   ", fwd_hybrid),
+       ("hybrid both ", fwd_hybrid2)]
 
 print(f"probe_unet_ab: batch={BATCH} size={SIZE}", flush=True)
 for name, fn in FNS:  # compile
