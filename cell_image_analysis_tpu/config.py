@@ -92,9 +92,11 @@ class SegConfig:
     raster_mode: str = "tiled"       # "tiled": scatter-free dense per-tile
                                      # inside tests, no patch clipping;
                                      # "scatter": patch scatter-max
-    raster_tile: int = 128           # tiled mode: tile side (frame side must
+    raster_tile: int = 64            # tiled mode: tile side (frame side must
                                      # be a multiple; else scatter fallback)
-    raster_m_cap: int = 16           # tiled mode: per-tile polygon capacity
+    raster_m_cap: int = 8            # tiled mode: per-tile polygon capacity
+                                     # (64/8 beat 128/16 by ~4% on the r2s5
+                                     # sweep; overflow -> scatter fallback)
     unet_dtype: str = "float32"      # "bfloat16": half the conv-activation
                                      # HBM footprint + 2x MXU; prob deviates
                                      # ~1e-3 from the f32 forward

@@ -125,6 +125,8 @@ def s5_stage_a(segs, greens):
 
     def one(seg, green):
         lab = backend(seg)
+        if getattr(backend, "returns_overflow", False):
+            lab, _ = lab
         if getattr(backend, "runs_props", False):
             cand, _ = extract_candidates_from_labels_runs(
                 lab, green, label_capacity=lcap, cell_capacity=128)
