@@ -68,20 +68,38 @@ def _predict_instances_impl(
     raster_tile: int = 128,
     raster_m_cap: int = 16,
 ):
-    from cell_image_analysis_tpu.models.unet import unet_apply
+    from cell_image_analysis_tpu.models.unet import (
+        dist_head_rows,
+        unet_apply,
+        unet_apply_late,
+    )
 
     gy, gx = model.grid
-    prob, dist = unet_apply(model, variables, img[None, :, :, None], train=False)
-    prob, dist = prob[0], dist[0]          # (h', w'), (h', w', R)
-    hp, wp = prob.shape
-
-    flat = prob.reshape(-1)
-    top_p, top_i = jax.lax.top_k(flat, max_candidates)
+    x = img[None, :, :, None]
+    late = unet_apply_late(model, variables, x)
+    if late is not None:
+        # late dist head: the (h', w', R) dist map is only ever read at the
+        # top-K candidate pixels, so the head runs as a (K, head_filters)
+        # matmul on gathered feature rows instead of a full-map 1x1 conv
+        # (saves writing + re-reading a (h', w', 32) f32 tensor per frame).
+        prob, feat = late
+        prob, feat = prob[0], feat[0]      # (h', w'), (h', w', F)
+        hp, wp = prob.shape
+        flat = prob.reshape(-1)
+        top_p, top_i = jax.lax.top_k(flat, max_candidates)
+        feat_rows = feat.reshape(-1, feat.shape[-1])[top_i]
+        cand_dists = dist_head_rows(variables, feat_rows)
+    else:
+        prob, dist = unet_apply(model, variables, x, train=False)
+        prob, dist = prob[0], dist[0]      # (h', w'), (h', w', R)
+        hp, wp = prob.shape
+        flat = prob.reshape(-1)
+        top_p, top_i = jax.lax.top_k(flat, max_candidates)
+        cand_dists = dist.reshape(-1, dist.shape[-1])[top_i]
     valid = top_p > prob_thresh
     rows = (top_i // wp).astype(jnp.float32) * gy
     cols = (top_i % wp).astype(jnp.float32) * gx
     centers = jnp.stack([rows, cols], axis=1)
-    cand_dists = dist.reshape(-1, dist.shape[-1])[top_i]
     cand_dists = jnp.maximum(cand_dists, 1e-3)
 
     keep = star_nms(centers, cand_dists, top_p, valid, nms_thresh=nms_thresh, metric=metric)

@@ -164,7 +164,8 @@ def _up_kernel(W: jax.Array) -> jax.Array:
 
 
 def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
-                   train: bool = False, tail_s2d: bool | None = None):
+                   train: bool = False, tail_s2d: bool | None = None,
+                   late_dist: bool = False):
     """Fast functional forward for grid=(2,2): level 0 is computed in
     space-to-depth layout so the (B, H, W, 32) float32 activation — which
     pads 4x under the TPU's T(8, 128) tiling and is never consumed as a skip
@@ -181,7 +182,18 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
     `tail_s2d` additionally computes decoder level 1 + the heads in s2d
     layout (None -> env `CIA_UNET_S2D_TAIL`, default off until the on-chip
     A/B proves a win — scripts/probe_unet_ab.py; separate-session runs
-    measured no improvement over the standard tail)."""
+    measured no improvement over the standard tail).
+
+    `late_dist` returns `(prob, feat)` instead of `(prob, dist)`, skipping
+    the 32-ray dist head entirely: the dist map is only ever read at the
+    top-K candidate pixels (models/stardist.py), so computing softplus(
+    conv1x1(feat)) over all H/2 x W/2 pixels writes + re-reads a
+    (B, H/2, W/2, 32) float32 tensor per batch for K=256 useful rows.
+    Callers gather feat rows at the candidate indices and apply
+    `dist_head_rows` (the same 1x1 contraction as a (K, 128) matmul).
+    Forces the standard-layout tail (feat indices must match prob's)."""
+    if late_dist:
+        tail_s2d = False
     if tail_s2d is None:
         import os
 
@@ -267,11 +279,34 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
         jax.lax.conv_general_dilated(feat, p["Conv_13"]["kernel"], (1, 1), "SAME",
                                      dimension_numbers=dn) + p["Conv_13"]["bias"]
     )[..., 0]
+    if late_dist:
+        return prob, feat
     dist = nn.softplus(
         jax.lax.conv_general_dilated(feat, p["Conv_14"]["kernel"], (1, 1), "SAME",
                                      dimension_numbers=dn) + p["Conv_14"]["bias"]
     )
     return prob, dist
+
+
+def dist_head_rows(variables: dict, feat_rows: jax.Array) -> jax.Array:
+    """The 32-ray dist head on gathered feature rows: (K, head_filters) ->
+    (K, n_rays).  Identical contraction to the full-map 1x1 conv (same f32
+    dot over head_filters), applied only where the dist map is actually
+    read — the top-K candidate pixels."""
+    p = variables["params"]["Conv_14"]
+    return jax.nn.softplus(
+        feat_rows.astype(jnp.float32) @ p["kernel"][0, 0] + p["bias"]
+    )
+
+
+def unet_apply_late(model: StarDistUNet, variables: dict, x: jax.Array):
+    """`(prob, feat)` via the s2d fast path when its preconditions hold,
+    else None (callers fall back to the full `(prob, dist)` forward)."""
+    if (model.grid == (2, 2) and model.depth == 3
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and x.shape[3] == 1):
+        return apply_unet_s2d(model, variables, x, train=False, late_dist=True)
+    return None
 
 
 def unet_apply(model: StarDistUNet, variables: dict, x: jax.Array,

@@ -73,19 +73,34 @@ def s1_forward(segs):
 
 @jax.jit
 def s2_candidates(segs):
-    prob, dist = s1_forward(segs)
+    """Mirrors production (models/stardist._predict_instances_impl): the
+    late dist head — (prob, feat) forward, dist head on gathered rows."""
+    from cell_image_analysis_tpu.models.unet import dist_head_rows, unet_apply_late
 
-    def one(p, d):
-        hp, wp = p.shape
-        flat = p.reshape(-1)
-        top_p, top_i = jax.lax.top_k(flat, cfg.max_candidates)
+    def one(seg):
+        x = normalize_percentile(seg, cfg.norm_pmin, cfg.norm_pmax)
+        x = _pad_to_multiple(x, 2 ** cfg.unet_depth)[None, :, :, None]
+        late = unet_apply_late(model, variables, x)
+        if late is not None:
+            p, feat = late
+            p, feat = p[0], feat[0]
+            hp, wp = p.shape
+            top_p, top_i = jax.lax.top_k(p.reshape(-1), cfg.max_candidates)
+            cd = dist_head_rows(variables, feat.reshape(-1, feat.shape[-1])[top_i])
+        else:
+            from cell_image_analysis_tpu.models.unet import unet_apply
+
+            p, d = unet_apply(model, variables, x, train=False)
+            p, d = p[0], d[0]
+            hp, wp = p.shape
+            top_p, top_i = jax.lax.top_k(p.reshape(-1), cfg.max_candidates)
+            cd = d.reshape(-1, d.shape[-1])[top_i]
         valid = top_p > cfg.prob_thresh
         rows = (top_i // wp).astype(jnp.float32) * cfg.grid[0]
         cols = (top_i % wp).astype(jnp.float32) * cfg.grid[1]
         centers = jnp.stack([rows, cols], axis=1)
-        cd = jnp.maximum(d.reshape(-1, d.shape[-1])[top_i], 1e-3)
-        return centers, cd, top_p, valid
-    return jax.vmap(one)(prob, dist)
+        return centers, jnp.maximum(cd, 1e-3), top_p, valid
+    return jax.vmap(one)(segs)
 
 
 @jax.jit

@@ -80,3 +80,32 @@ def test_s2d_matches_on_synthetic_weights(unet):
                                rtol=0, atol=2e-6)
     np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_late_dist_head_matches_full_dist(unet):
+    """`unet_apply_late` + `dist_head_rows` on gathered rows == the full
+    dist map at those pixels (models/stardist.py's late-dist candidate
+    path; same 1x1 contraction as a (K, F) matmul)."""
+    from cell_image_analysis_tpu.models.unet import dist_head_rows, unet_apply_late
+
+    model, variables = unet
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    late = unet_apply_late(model, variables, x)
+    assert late is not None
+    prob, feat = late
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=2e-6)
+    idx = jnp.asarray([0, 7, 100, 1535, 999])          # arbitrary pixels
+    rows = dist_head_rows(variables, feat[0].reshape(-1, feat.shape[-1])[idx])
+    ref_rows = np.asarray(dist_ref[0]).reshape(-1, dist_ref.shape[-1])[np.asarray(idx)]
+    np.testing.assert_allclose(np.asarray(rows), ref_rows, rtol=1e-5, atol=1e-5)
+
+
+def test_late_dist_none_for_odd_shapes(unet):
+    from cell_image_analysis_tpu.models.unet import unet_apply_late
+
+    model, variables = unet
+    assert unet_apply_late(model, variables, jnp.zeros((1, 65, 64, 1))) is None
