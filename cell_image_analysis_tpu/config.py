@@ -100,6 +100,11 @@ class SegConfig:
     unet_dtype: str = "float32"      # "bfloat16": half the conv-activation
                                      # HBM footprint + 2x MXU; prob deviates
                                      # ~1e-3 from the f32 forward
+    unet_precision: str = "high"     # XLA conv contraction passes: TPU
+                                     # "default" = ONE bf16 pass (prob dev
+                                     # 1.8e-2 vs f32!); "high" = 3 passes,
+                                     # ~f32 numerics at no measured cost
+                                     # (the forward is HBM-bound)
     # Normalization of the segmentation channel (csbdeep.utils.normalize
     # defaults, call site CAE_improved_modeltrain.py:53):
     norm_pmin: float = 3.0

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cell_image_analysis_tpu.utils import prec as prec_util
+
 
 class CAE(nn.Module):
     """Returns (decoded, encoded)."""
@@ -31,13 +33,22 @@ class CAE(nn.Module):
     decoder_filters: tuple = (32, 64, 32)
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
+    # TPU: the default f32 conv contraction is a single bf16 pass (~2^-9
+    # relative error on recon/latent values feeding the SVM chain); "high"
+    # (3-pass) restores ~f32 numerics.  The CAE is ~100 MFLOP/cell, so the
+    # extra passes are noise next to the segmentation stage.
+    precision: str = "high"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
+        prec = (None if self.precision in (None, "default")
+                or prec_util.ablated("cae")
+                else jax.lax.Precision[self.precision.upper()])
         conv = partial(
             nn.Conv,
             kernel_size=(3, 3),
             padding="SAME",
+            precision=prec,
             kernel_init=jax.nn.initializers.glorot_uniform(),
         )
         bn = partial(

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cell_image_analysis_tpu.utils import prec
+
 
 @dataclass
 class PCA:
@@ -71,6 +73,8 @@ def _fit(X: jax.Array, k: int):
 
 @jax.jit
 def transform(X: jax.Array, mean: jax.Array, components: jax.Array) -> jax.Array:
-    return jnp.dot(
-        X.astype(jnp.float32) - mean, components.T, preferred_element_type=jnp.float32
+    return jnp.dot(  # HIGHEST: TPU default is 1-pass bf16; this is tiny
+        X.astype(jnp.float32) - mean, components.T,
+        preferred_element_type=jnp.float32,
+        precision=prec.highest("pca"),
     )

@@ -153,6 +153,7 @@ class StarDistBackend:
             n_rays=cfg.n_rays, depth=cfg.unet_depth,
             base_filters=cfg.base_filters, head_filters=cfg.head_filters,
             grid=cfg.grid, dtype=cfg.unet_dtype,
+            precision=getattr(cfg, "unet_precision", "high"),
         )
 
     def __call__(self, seg_channel: jax.Array):

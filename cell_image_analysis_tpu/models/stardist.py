@@ -124,7 +124,8 @@ def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = 
     if model is None:
         model = StarDistUNet(n_rays=cfg.n_rays, depth=cfg.unet_depth,
                              base_filters=cfg.base_filters, head_filters=cfg.head_filters,
-                             grid=cfg.grid, dtype=cfg.unet_dtype)
+                             grid=cfg.grid, dtype=cfg.unet_dtype,
+                             precision=getattr(cfg, "unet_precision", "high"))
     h, w = seg_channel.shape
     x = seg_channel
     if normalize:

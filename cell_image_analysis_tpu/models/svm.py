@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cell_image_analysis_tpu.utils import prec
+
 from cell_image_analysis_tpu.models.smo import smo_one_class
 
 _SV_TAU = 1e-10
@@ -49,7 +51,8 @@ def rbf_kernel(X: jax.Array, Y: jax.Array, gamma: jax.Array) -> jax.Array:
     Y = Y.astype(jnp.float32)
     xx = jnp.sum(X * X, axis=1, keepdims=True)
     yy = jnp.sum(Y * Y, axis=1, keepdims=True)
-    d2 = xx + yy.T - 2.0 * jnp.dot(X, Y.T, preferred_element_type=jnp.float32)
+    d2 = xx + yy.T - 2.0 * jnp.dot(X, Y.T, preferred_element_type=jnp.float32,
+                                   precision=prec.highest("svm"))
     return jnp.exp(-gamma * jnp.maximum(d2, 0.0))
 
 
@@ -57,7 +60,8 @@ def rbf_kernel(X: jax.Array, Y: jax.Array, gamma: jax.Array) -> jax.Array:
 def decision_function(params: SVMParams, X: jax.Array) -> jax.Array:
     """f(x) = sum_i alpha_i k(x, sv_i) - rho; positive = inlier."""
     K = rbf_kernel(X, params.support_vectors, params.gamma)
-    return jnp.dot(K, params.dual_coef, preferred_element_type=jnp.float32) - params.rho
+    return jnp.dot(K, params.dual_coef, preferred_element_type=jnp.float32,
+                   precision=prec.highest("svm")) - params.rho
 
 
 @dataclass

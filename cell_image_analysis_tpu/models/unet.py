@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from cell_image_analysis_tpu.utils import prec as prec_util
+
 
 class StarDistUNet(nn.Module):
     n_rays: int = 32
@@ -37,12 +39,20 @@ class StarDistUNet(nn.Module):
     # deviates ~1e-3 from the f32 forward, which only flips candidates
     # sitting that close to prob_thresh.
     dtype: str = "float32"
+    # XLA contraction precision for the convs.  The TPU default lowers f32
+    # convs to a SINGLE bf16 MXU pass (measured scripts/probe_unet_prec.py:
+    # max|dprob| 1.8e-2 vs true f32, 390 prob_thresh flips per 8x1024^2
+    # batch); "high" (3-pass bf16) restores ~f32 numerics (1e-4, 0 flips) at
+    # no measured cost — the forward is HBM-bound, all tiers time within
+    # noise (71-77 ms).  "default" opts back into the fast single pass.
+    precision: str = "high"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        prec = _prec(self.precision)
         conv = partial(nn.Conv, kernel_size=(3, 3), padding="SAME",
-                       dtype=cdt,
+                       dtype=cdt, precision=prec,
                        kernel_init=jax.nn.initializers.glorot_uniform())
 
         def block(h, f):
@@ -71,9 +81,18 @@ class StarDistUNet(nn.Module):
 
         feat = nn.relu(conv(features=self.head_filters)(h))
         feat = feat.astype(jnp.float32)
-        prob = nn.sigmoid(nn.Conv(1, (1, 1))(feat))[..., 0]          # (B, H/g, W/g)
-        dist = nn.softplus(nn.Conv(self.n_rays, (1, 1))(feat))       # (B, H/g, W/g, R)
+        prob = nn.sigmoid(nn.Conv(1, (1, 1), precision=prec)(feat))[..., 0]
+        dist = nn.softplus(nn.Conv(self.n_rays, (1, 1), precision=prec)(feat))
         return prob, dist
+
+
+def _prec(name: str | None):
+    """Map a precision name ("default"/"high"/"highest"/None) to the
+    jax.lax.Precision passed to convs; None/"default" keeps the backend
+    default (single-pass bf16 on TPU)."""
+    if name is None or name == "default":
+        return None
+    return jax.lax.Precision[name.upper()]
 
 
 def _s2d(x: jax.Array) -> jax.Array:
@@ -201,13 +220,15 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
     assert model.grid == (2, 2) and model.depth == 3, "s2d path: grid (2,2)/depth 3"
     p = variables["params"]
     cdt = jnp.bfloat16 if model.dtype == "bfloat16" else jnp.float32
+    prec = _prec(model.precision)
     dn = ("NHWC", "HWIO", "NHWC")
 
     def conv(h, name, kernel=None, bias=None):
         W = p[name]["kernel"] if kernel is None else kernel
         b = p[name]["bias"] if bias is None else bias
         y = jax.lax.conv_general_dilated(
-            h.astype(cdt), W.astype(cdt), (1, 1), "SAME", dimension_numbers=dn
+            h.astype(cdt), W.astype(cdt), (1, 1), "SAME", dimension_numbers=dn,
+            precision=prec,
         )
         return y + b.astype(cdt)
 
@@ -260,12 +281,14 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
         prob = nn.sigmoid(_d2s(
             jax.lax.conv_general_dilated(
                 feat, _s2d_kernel_1x1(p["Conv_13"]["kernel"]), (1, 1), "SAME",
-                dimension_numbers=dn) + jnp.tile(p["Conv_13"]["bias"], 4)
+                dimension_numbers=dn, precision=prec)
+            + jnp.tile(p["Conv_13"]["bias"], 4)
         ))[..., 0]
         dist = _d2s(nn.softplus(
             jax.lax.conv_general_dilated(
                 feat, _s2d_kernel_1x1(p["Conv_14"]["kernel"]), (1, 1), "SAME",
-                dimension_numbers=dn) + jnp.tile(p["Conv_14"]["bias"], 4)
+                dimension_numbers=dn, precision=prec)
+            + jnp.tile(p["Conv_14"]["bias"], 4)
         ))
         return prob, dist
 
@@ -277,13 +300,15 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
     feat = nn.relu(conv(h, "Conv_12")).astype(jnp.float32)
     prob = nn.sigmoid(
         jax.lax.conv_general_dilated(feat, p["Conv_13"]["kernel"], (1, 1), "SAME",
-                                     dimension_numbers=dn) + p["Conv_13"]["bias"]
+                                     dimension_numbers=dn, precision=prec)
+        + p["Conv_13"]["bias"]
     )[..., 0]
     if late_dist:
         return prob, feat
     dist = nn.softplus(
         jax.lax.conv_general_dilated(feat, p["Conv_14"]["kernel"], (1, 1), "SAME",
-                                     dimension_numbers=dn) + p["Conv_14"]["bias"]
+                                     dimension_numbers=dn, precision=prec)
+        + p["Conv_14"]["bias"]
     )
     return prob, dist
 
@@ -295,7 +320,9 @@ def dist_head_rows(variables: dict, feat_rows: jax.Array) -> jax.Array:
     read — the top-K candidate pixels."""
     p = variables["params"]["Conv_14"]
     return jax.nn.softplus(
-        feat_rows.astype(jnp.float32) @ p["kernel"][0, 0] + p["bias"]
+        jnp.matmul(feat_rows.astype(jnp.float32), p["kernel"][0, 0],
+                   precision=prec_util.highest("dist_head"))  # K<=256 rows: free
+        + p["bias"]
     )
 
 

@@ -33,6 +33,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from cell_image_analysis_tpu.utils import prec
+
 NR_OF_GRAY = 2 ** 14
 NS_CAP = 16  # >= ceil(side / max(1, side//8)) for every side >= 1
 # Tighter capacity when every side >= 16 (then k = side//8 >= 2 and
@@ -245,16 +247,31 @@ def _clahe_one(
             # D[p, t] = maps[t, bin(p)] — ONE matmul shared by all four
             # corners (the old per-corner rows = T_c @ maps spent 4x the
             # MXU FLOPs computing all 256 bins per pixel to use one).  Each
-            # corner is then a cheap one-hot contraction over tiles; the
-            # corner one-hots are exact 0/1 in bfloat16 (halving their HBM
-            # traffic) while maps stays f32 — its integer values reach
-            # NR_OF_GRAY-1 = 16383, beyond bf16's exact-integer range.
-            # Both forms select exact f32 table entries, so this is
-            # bit-identical.
-            D = jax.lax.dot_general(
-                Bm, maps_f, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                # (pblk, n_tiles)
+            # corner is then a cheap one-hot contraction over tiles.
+            # EXACTNESS ON TPU: the default f32 "matmul" is a SINGLE bf16
+            # MXU pass — both operands are rounded to bf16 — and maps'
+            # integer values reach NR_OF_GRAY-1 = 16383, far beyond bf16's
+            # exact-integer range (256): measured CLAHE output deviation
+            # 2.1e-3 vs the oracle (/tmp probe, BENCH.md r2s9).  Splitting
+            # maps into bf16-exact parts (multiples of 64 up to 16320, and
+            # a remainder < 64) makes BOTH one-pass matmuls exact — the
+            # one-hot rows select single f32-accumulated entries — at 2x
+            # the matmul FLOPs (vs 3x for precision="high").
+            dnum = (((1,), (1,)), ((), ()))
+            if prec.ablated("clahe"):        # measurement only: single pass
+                D = jax.lax.dot_general(
+                    Bm, maps_f, dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                maps_hi = jnp.floor(maps_f * (1.0 / 64.0)) * 64.0
+                D = jax.lax.dot_general(
+                    Bm, maps_hi, dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    Bm, maps_f - maps_hi, dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                )                            # (pblk, n_tiles)
             vals = 0.0
             for c in range(4):
                 T = (ct[c][:, None] == tile_ids[None, :]).astype(jnp.bfloat16)

@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from cell_image_analysis_tpu.utils import prec
+
 
 @partial(jax.jit, static_argnames=("radial_bins", "angular_bins", "log_power"))
 def fft_features(
@@ -59,11 +61,13 @@ def fft_features(
     # (the spectrum corners) folds into the last bin
     r_bin = jnp.clip((r_norm * radial_bins).astype(jnp.int32), 0, radial_bins - 1)
     r_onehot = jax.nn.one_hot(r_bin, radial_bins, dtype=jnp.float32)  # (H, W, R)
-    radial = jnp.einsum("bhw,hwr->br", ac_power, r_onehot) / total_safe[:, None]
+    radial = jnp.einsum("bhw,hwr->br", ac_power, r_onehot,
+                        precision=prec.highest("fft")) / total_safe[:, None]
 
     a_bin = jnp.clip((theta / jnp.pi * angular_bins).astype(jnp.int32), 0, angular_bins - 1)
     a_onehot = jax.nn.one_hot(a_bin, angular_bins, dtype=jnp.float32)
-    angular = jnp.einsum("bhw,hwa->ba", ac_power, a_onehot) / total_safe[:, None]
+    angular = jnp.einsum("bhw,hwa->ba", ac_power, a_onehot,
+                         precision=prec.highest("fft")) / total_safe[:, None]
 
     centroid = jnp.sum(ac_power * r_norm[None], axis=(-2, -1)) / total_safe
     high_freq = jnp.sum(jnp.where(r_norm[None] > 0.5, ac_power, 0.0), axis=(-2, -1)) / total_safe

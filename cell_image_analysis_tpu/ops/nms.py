@@ -24,6 +24,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from cell_image_analysis_tpu.utils import prec
+
 _N_ANGLES = 24
 _N_RADII = 8
 _CHUNK = 32
@@ -107,7 +109,8 @@ def overlap_matrix(centers: jax.Array, dists: jax.Array, metric: str = "iou") ->
         theta = jnp.arctan2(dy, dx)
         rb = radius_at(dists[None, None, :, :], theta)   # (C, S, K)
         inside = rho <= rb
-        inter = jnp.einsum("cs,csk->ck", w, inside.astype(jnp.float32))
+        inter = jnp.einsum("cs,csk->ck", w, inside.astype(jnp.float32),
+                           precision=prec.highest("nms"))
         return inter  # (C, K) estimated intersection areas
 
     n_chunks = (K + _CHUNK - 1) // _CHUNK

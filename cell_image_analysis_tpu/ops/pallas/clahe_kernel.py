@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cell_image_analysis_tpu.utils import prec
+
 NS_CAP = 16
 N_TILES = NS_CAP * NS_CAP
 NBINS = 256
@@ -131,6 +133,12 @@ def _kernel(clim_ref, area_ref, vbins_ref, vtiles_ref, vvalid_ref,
         (cdf * (NR_OF_GRAY - 1)) // jnp.maximum(area.astype(jnp.int32), 1),
         NR_OF_GRAY - 1,
     ).astype(jnp.float32)                                    # (T, NBINS)
+    # bf16-exact split of the 14-bit map values (multiples of 64 + remainder
+    # < 64): keeps the interp dots exact even where the MXU lowering rounds
+    # f32 operands to a single bf16 pass (the ops/clahe.py mxu path measured
+    # 2.1e-3 output deviation from exactly this, BENCH.md r2s9)
+    maps_hi = jnp.floor(maps * (1.0 / 64.0)) * 64.0
+    maps_lo = maps - maps_hi
 
     # 4. interpolation: per corner, rows = onehot_tile . maps, value = rows.B
     Rp = pbins_ref.shape[0]
@@ -145,14 +153,21 @@ def _kernel(clim_ref, area_ref, vbins_ref, vtiles_ref, vvalid_ref,
         for c in range(4):
             ct = ptiles_ref[c, sl, :]
             w = pw_ref[c, sl, :]
-            # f32 throughout: maps hold 14-bit gray values, which bf16 would
-            # round by ~0.4% (visible against the oracle)
             T = (ct[..., None] == tile_ids3p).astype(jnp.float32)
-            rows = jax.lax.dot_general(
-                T, maps,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                # (_PROWS,128,NB)
+            dnum = (((2,), (0,)), ((), ()))
+            if prec.ablated("clahe"):                        # measurement only
+                rows = jax.lax.dot_general(
+                    T, maps, dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                rows = jax.lax.dot_general(
+                    T, maps_hi, dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    T, maps_lo, dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                )                                            # (_PROWS,128,NB)
             vals = vals + w * jnp.sum(rows * Bm, axis=-1)
         out_ref[sl, :] = jnp.floor(vals)
         return 0

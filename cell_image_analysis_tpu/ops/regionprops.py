@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cell_image_analysis_tpu.utils import prec
+
 
 class RegionProps(NamedTuple):
     """Arrays indexed by label-1, length = capacity; `valid` marks labels that
@@ -59,13 +61,17 @@ def _segment_sums_mxu(seg: jax.Array, data: jax.Array, n_seg: int, blk: int = 20
 
     def step(acc, args):
         s, d = args
-        # f32 one-hot (0/1 exact) so the float feature columns keep full
-        # precision through the contraction
+        # HIGHEST: the TPU default contraction is a SINGLE bf16 pass that
+        # rounds BOTH operands — the one-hot stays exact but the data
+        # columns (coords to 4096, squared coords to 1.6e7) would lose up
+        # to 2^-9 relative per term.  HIGHEST keeps the sums f32-exact;
+        # F is tiny so the extra passes are noise.
         onehot = (s[:, None] == ids[None, :]).astype(jnp.float32)
         acc = acc + jax.lax.dot_general(
             onehot, d.astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec.highest("regionprops"),
         )
         return acc, None
 

@@ -30,6 +30,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from cell_image_analysis_tpu.utils import prec
+
 
 def _mirror_index(idx: jax.Array, n: jax.Array) -> jax.Array:
     """Reflect integer indices into [0, n-1] without edge duplication
@@ -108,7 +110,8 @@ def resize_operator(n: jax.Array, cap: int, out_size: int) -> jax.Array:
     sigma = jnp.maximum(0.0, (s - 1.0) / 2.0)
     G = gaussian_operator(n, sigma, cap, out_size)
     B = bilinear_operator(n, cap, out_size)
-    return jnp.dot(B, G, preferred_element_type=jnp.float32)
+    return jnp.dot(B, G, preferred_element_type=jnp.float32,
+                   precision=prec.highest("resize"))
 
 
 @partial(jax.jit, static_argnames=("out_size",))
@@ -129,8 +132,10 @@ def resize_cells(crops: jax.Array, heights: jax.Array, widths: jax.Array, out_si
     def one(crop, h, w):
         Rh = resize_operator(h, cap, out_size)           # (out, cap)
         Rw = resize_operator(w, cap, out_size)           # (out, cap)
-        tmp = jnp.dot(Rh, crop.astype(jnp.float32), preferred_element_type=jnp.float32)
-        return jnp.dot(tmp, Rw.T, preferred_element_type=jnp.float32)
+        tmp = jnp.dot(Rh, crop.astype(jnp.float32), preferred_element_type=jnp.float32,
+                      precision=prec.highest("resize"))
+        return jnp.dot(tmp, Rw.T, preferred_element_type=jnp.float32,
+                       precision=prec.highest("resize"))
 
     return jax.vmap(one)(crops, heights, widths)
 
@@ -141,4 +146,6 @@ def resize_image(img: jax.Array, out_size: int) -> jax.Array:
     h, w = img.shape
     Rh = resize_operator(jnp.int32(h), h, out_size)
     Rw = resize_operator(jnp.int32(w), w, out_size)
-    return jnp.dot(jnp.dot(Rh, img.astype(jnp.float32)), Rw.T)
+    hi = prec.highest("resize")
+    return jnp.dot(jnp.dot(Rh, img.astype(jnp.float32), precision=hi), Rw.T,
+                   precision=hi)

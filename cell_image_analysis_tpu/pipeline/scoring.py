@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cell_image_analysis_tpu.utils import prec
+
 from cell_image_analysis_tpu.models.cae import CAE
 from cell_image_analysis_tpu.models.svm import SVMParams, decision_function
 from cell_image_analysis_tpu.ops.extract import (
@@ -84,6 +86,7 @@ def score_cells(model: CAE, params: ScoringParams, X: jax.Array, min_votes: int 
         scaled - params.pca_mean,
         params.pca_components.T,
         preferred_element_type=jnp.float32,
+        precision=prec.highest("scoring"),
     )
 
     d_cons = decision_function(params.svm_conservative, reduced)

@@ -37,8 +37,12 @@ def _make_frames(n_frames: int, size: int, n_cells: int, seed: int = 7):
     return frames
 
 
-def _fit_params(seed: int = 0):
-    """Quick artifact fit on synthetic cells (not part of the timed path)."""
+def _fit_params(seed: int = 0, X: np.ndarray | None = None):
+    """Quick artifact fit on synthetic cells (not part of the timed path).
+
+    X: optional (N, 64, 64, 1) float32 training cells; default is the
+    make_cells generator.  utils/parity passes pipeline-extracted cells so
+    parity test frames score near nu (borderline-rich workloads)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +55,8 @@ def _fit_params(seed: int = 0):
 
     rng = np.random.default_rng(seed)
     model, variables = init_cae(jax.random.PRNGKey(seed))
-    X = make_cells(rng, 256)[..., None]
+    if X is None:
+        X = make_cells(rng, 256)[..., None]
     feats = np.asarray(encode(model, variables, jnp.asarray(X)))
     scaler = RobustScaler().fit(feats)
     pca = PCA(n_components=64).fit(np.asarray(scaler.transform(feats)))
@@ -116,7 +121,8 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
                      prob_thresh: float | None = None, raster_cap: int = 128,
                      runs_props: bool = True, unet_dtype: str = "float32",
                      raster_mode: str | None = None, raster_tile: int | None = None,
-                     raster_m_cap: int | None = None):
+                     raster_m_cap: int | None = None,
+                     unet_precision: str | None = None):
     """Identity-stable StarDistBackend over the committed synthetic weights
     (the scoring graphs jit-cache on segment_fn identity)."""
     from cell_image_analysis_tpu.config import SegConfig
@@ -129,10 +135,12 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
         raster_tile = int(os.environ.get("CIA_BENCH_SD_TILE", SegConfig.raster_tile))
     if raster_m_cap is None:
         raster_m_cap = int(os.environ.get("CIA_BENCH_SD_MCAP", SegConfig.raster_m_cap))
+    if unet_precision is None:
+        unet_precision = os.environ.get("CIA_BENCH_SD_PREC", SegConfig.unet_precision)
     kw.update(raster_mode=raster_mode, raster_tile=raster_tile,
-              raster_m_cap=raster_m_cap)
+              raster_m_cap=raster_m_cap, unet_precision=unet_precision)
     key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props,
-           unet_dtype, raster_mode, raster_tile, raster_m_cap)
+           unet_dtype, raster_mode, raster_tile, raster_m_cap, unet_precision)
     if key not in _STARDIST_BACKENDS:
         cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch,
                         raster_cap=raster_cap, unet_dtype=unet_dtype, **kw)

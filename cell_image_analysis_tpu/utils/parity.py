@@ -181,14 +181,22 @@ def oracle_score(cells: np.ndarray, host: dict, min_votes: int = 2,
 
 def measure_parity(n_frames: int = 4, size: int = 512, n_cells: int = 30,
                    seed: int = 11, use_keras: bool = True,
-                   backend: str = "threshold") -> dict:
+                   backend: str = "threshold",
+                   fit_on_extracted: bool = False) -> dict:
     """Run the same synthetic frames through the fused device pipeline and
     the CPU reference stack; return per-detector rates and the max absolute
     rate deviation (the BASELINE.md north-star).
 
     backend="stardist" runs the full reference segmentation stack on both
     sides: the device StarDistBackend vs a CPU Keras/TF U-Net forward (same
-    weights) + the numpy greedy NMS/rasterization oracle."""
+    weights) + the numpy greedy NMS/rasterization oracle.
+
+    fit_on_extracted=True fits the detectors on cells oracle-extracted from
+    DISJOINT frames of the same generator, so the test cells score near nu
+    (~5-10% rates) instead of saturating at ~100% — many cells then sit
+    near the SVM boundary, making the deviation check maximally sensitive
+    to numeric drift (e.g. the TPU single-bf16-pass matmul default that
+    the saturated workload can mask)."""
     import jax.numpy as jnp
 
     from cell_image_analysis_tpu.models.segmentation import threshold_segment
@@ -200,7 +208,15 @@ def measure_parity(n_frames: int = 4, size: int = 512, n_cells: int = 30,
         stardist_backend,
     )
 
-    model, params, host = _fit_params()
+    fit_X = None
+    if fit_on_extracted:
+        fit_frames = _make_frames(8, size, n_cells, seed=seed + 7919)
+        fit_cells = np.concatenate(
+            [oracle_extract_cells(f) for f in fit_frames], axis=0)
+        assert len(fit_cells) >= 65, (
+            f"only {len(fit_cells)} fit cells; PCA(64) needs >= 65")
+        fit_X = fit_cells[..., None].astype(np.float32)
+    model, params, host = _fit_params(X=fit_X)
     frames = _make_frames(n_frames, size, n_cells, seed=seed)
     stack = np.stack(frames)
 

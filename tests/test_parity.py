@@ -26,6 +26,21 @@ def test_anomaly_rate_parity_north_star():
 
 
 @pytest.mark.slow
+def test_anomaly_rate_parity_sensitive_workload():
+    """fit_on_extracted fits the detectors on pipeline-distribution cells,
+    so test cells score near nu with many borderline cells — the workload
+    that caught the TPU single-bf16-pass matmul default (BENCH.md r2s9;
+    on CPU both paths are f32 so this gates the algorithmic parity)."""
+    res = measure_parity(n_frames=4, size=512, n_cells=30, seed=11,
+                         fit_on_extracted=True)
+    assert res["cell_count_match"], res
+    # sensitivity: the workload must NOT saturate (all/none anomalous)
+    rates = [v for k, v in res["device"].items() if k.endswith("rate")]
+    assert any(0.0 < r < 0.9 for r in rates), res["device"]
+    assert res["max_deviation"] < 1e-3, res
+
+
+@pytest.mark.slow
 def test_anomaly_rate_parity_stardist_backend():
     """Same gate through the full StarDist stack: device U-Net -> fixpoint
     NMS -> scatter rasterize -> runs regionprops vs CPU Keras forward ->
