@@ -103,8 +103,14 @@ class SegConfig:
     unet_precision: str = "high"     # XLA conv contraction passes: TPU
                                      # "default" = ONE bf16 pass (prob dev
                                      # 1.8e-2 vs f32!); "high" = 3 passes,
-                                     # ~f32 numerics at no measured cost
-                                     # (the forward is HBM-bound)
+                                     # ~f32 numerics.  Under "high" the
+                                     # forward is MXU-bound (BENCH.md r2s10)
+    unet_lvl0_precision: str = ""    # level-0 conv override ("" -> follow
+                                     # unet_precision); measured per-layer
+                                     # by scripts/probe_unet_prec2.py
+    unet_lvl0_s2d: bool = True       # space-to-depth level 0: 4x less HBM,
+                                     # 4x the FLOPs — right iff level 0
+                                     # runs single-pass bf16
     # Normalization of the segmentation channel (csbdeep.utils.normalize
     # defaults, call site CAE_improved_modeltrain.py:53):
     norm_pmin: float = 3.0

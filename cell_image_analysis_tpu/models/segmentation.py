@@ -154,6 +154,8 @@ class StarDistBackend:
             base_filters=cfg.base_filters, head_filters=cfg.head_filters,
             grid=cfg.grid, dtype=cfg.unet_dtype,
             precision=getattr(cfg, "unet_precision", "high"),
+            lvl0_precision=(getattr(cfg, "unet_lvl0_precision", "") or None),
+            lvl0_s2d=getattr(cfg, "unet_lvl0_s2d", True),
         )
 
     def __call__(self, seg_channel: jax.Array):

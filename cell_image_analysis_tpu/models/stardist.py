@@ -125,7 +125,9 @@ def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = 
         model = StarDistUNet(n_rays=cfg.n_rays, depth=cfg.unet_depth,
                              base_filters=cfg.base_filters, head_filters=cfg.head_filters,
                              grid=cfg.grid, dtype=cfg.unet_dtype,
-                             precision=getattr(cfg, "unet_precision", "high"))
+                             precision=getattr(cfg, "unet_precision", "high"),
+                             lvl0_precision=(getattr(cfg, "unet_lvl0_precision", "") or None),
+                             lvl0_s2d=getattr(cfg, "unet_lvl0_s2d", True))
     h, w = seg_channel.shape
     x = seg_channel
     if normalize:

@@ -42,28 +42,42 @@ class StarDistUNet(nn.Module):
     # XLA contraction precision for the convs.  The TPU default lowers f32
     # convs to a SINGLE bf16 MXU pass (measured scripts/probe_unet_prec.py:
     # max|dprob| 1.8e-2 vs true f32, 390 prob_thresh flips per 8x1024^2
-    # batch); "high" (3-pass bf16) restores ~f32 numerics (1e-4, 0 flips) at
-    # no measured cost — the forward is HBM-bound, all tiers time within
-    # noise (71-77 ms).  "default" opts back into the fast single pass.
+    # batch); "high" (3-pass bf16) restores ~f32 numerics (1e-4, 0 flips).
+    # Under "high" the fused forward is MXU-bound (3x FLOPs; BENCH.md
+    # r2s10: the U-Net tier is 87% of the parity-fix regression), so the
+    # level-0 convs get their own knobs below.  "default" opts back into
+    # the fast single pass.
     precision: str = "high"
+    # Precision override for the two level-0 convs only (None -> follow
+    # `precision`).  Level-0 is 26% of the s2d forward's FLOPs but its
+    # rounding error may wash out through the net — measured per-layer by
+    # scripts/probe_unet_prec2.py before promoting any mix.
+    lvl0_precision: str | None = None
+    # Compute level 0 in space-to-depth layout (s2d fast path only).  s2d
+    # trades 4x FLOPs for 4x less HBM (the f32 32-channel activation pads
+    # 4x under T(8,128)) — a win when the forward is HBM-bound (default
+    # precision), a loss when MXU-bound ("high").
+    lvl0_s2d: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         cdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         prec = _prec(self.precision)
+        prec0 = _prec(self.lvl0_precision or self.precision)
         conv = partial(nn.Conv, kernel_size=(3, 3), padding="SAME",
-                       dtype=cdt, precision=prec,
+                       dtype=cdt,
                        kernel_init=jax.nn.initializers.glorot_uniform())
 
-        def block(h, f):
-            h = nn.relu(conv(features=f)(h))
-            h = nn.relu(conv(features=f)(h))
+        def block(h, f, p=prec):
+            h = nn.relu(conv(features=f, precision=p)(h))
+            h = nn.relu(conv(features=f, precision=p)(h))
             return h
 
         skips = []
         h = x
         for lvl in range(self.depth):
-            h = block(h, self.base_filters * (2 ** lvl))
+            h = block(h, self.base_filters * (2 ** lvl),
+                      p=prec0 if lvl == 0 else prec)
             skips.append(h)
             h = nn.max_pool(h, (2, 2), strides=(2, 2), padding="SAME")
         h = block(h, self.base_filters * (2 ** self.depth))
@@ -79,7 +93,7 @@ class StarDistUNet(nn.Module):
             h = jnp.concatenate([h[:, : skip.shape[1], : skip.shape[2]], skip], axis=-1)
             h = block(h, self.base_filters * (2 ** lvl))
 
-        feat = nn.relu(conv(features=self.head_filters)(h))
+        feat = nn.relu(conv(features=self.head_filters, precision=prec)(h))
         feat = feat.astype(jnp.float32)
         prob = nn.sigmoid(nn.Conv(1, (1, 1), precision=prec)(feat))[..., 0]
         dist = nn.softplus(nn.Conv(self.n_rays, (1, 1), precision=prec)(feat))
@@ -184,7 +198,8 @@ def _up_kernel(W: jax.Array) -> jax.Array:
 
 def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
                    train: bool = False, tail_s2d: bool | None = None,
-                   late_dist: bool = False):
+                   late_dist: bool = False,
+                   prec_map: dict | None = None):
     """Fast functional forward for grid=(2,2): level 0 is computed in
     space-to-depth layout so the (B, H, W, 32) float32 activation — which
     pads 4x under the TPU's T(8, 128) tiling and is never consumed as a skip
@@ -221,14 +236,23 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
     p = variables["params"]
     cdt = jnp.bfloat16 if model.dtype == "bfloat16" else jnp.float32
     prec = _prec(model.precision)
+    lvl0_prec = _prec(model.lvl0_precision or model.precision)
     dn = ("NHWC", "HWIO", "NHWC")
 
-    def conv(h, name, kernel=None, bias=None):
+    def prec_for(name, default):
+        # probe-only per-layer override (scripts/probe_unet_prec2.py)
+        if prec_map is not None and name in prec_map:
+            return _prec(prec_map[name])
+        return default
+
+    _UNSET = object()  # None is a real value (backend default = 1-pass bf16)
+
+    def conv(h, name, kernel=None, bias=None, precision=_UNSET):
         W = p[name]["kernel"] if kernel is None else kernel
         b = p[name]["bias"] if bias is None else bias
         y = jax.lax.conv_general_dilated(
             h.astype(cdt), W.astype(cdt), (1, 1), "SAME", dimension_numbers=dn,
-            precision=prec,
+            precision=prec_for(name, prec if precision is _UNSET else precision),
         )
         return y + b.astype(cdt)
 
@@ -236,14 +260,21 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
         return nn.max_pool(h, (2, 2), strides=(2, 2), padding="SAME")
 
     f = model.base_filters
-    # level 0, space-to-depth
-    h = _s2d(x)
-    h = nn.relu(conv(h, "Conv_0", _s2d_kernel(p["Conv_0"]["kernel"]),
-                     jnp.tile(p["Conv_0"]["bias"], 4)))
-    h = nn.relu(conv(h, "Conv_1", _s2d_kernel(p["Conv_1"]["kernel"]),
-                     jnp.tile(p["Conv_1"]["bias"], 4)))
-    b_, hh, ww, _ = h.shape
-    h = h.reshape(b_, hh, ww, 2, 2, f).max(axis=(3, 4))  # == maxpool(level-0)
+    if model.lvl0_s2d:
+        # level 0, space-to-depth: 4x less HBM (no T(8,128) channel padding),
+        # 4x the FLOPs — the right trade iff level 0 runs single-pass bf16.
+        h = _s2d(x)
+        h = nn.relu(conv(h, "Conv_0", _s2d_kernel(p["Conv_0"]["kernel"]),
+                         jnp.tile(p["Conv_0"]["bias"], 4), precision=lvl0_prec))
+        h = nn.relu(conv(h, "Conv_1", _s2d_kernel(p["Conv_1"]["kernel"]),
+                         jnp.tile(p["Conv_1"]["bias"], 4), precision=lvl0_prec))
+        b_, hh, ww, _ = h.shape
+        h = h.reshape(b_, hh, ww, 2, 2, f).max(axis=(3, 4))  # == maxpool(level-0)
+    else:
+        # standard layout level 0 (1/4 the FLOPs, 4x-padded f32 HBM writes)
+        h = nn.relu(conv(x, "Conv_0", precision=lvl0_prec))
+        h = nn.relu(conv(h, "Conv_1", precision=lvl0_prec))
+        h = pool(h)
 
     # encoder levels 1..2 + middle (standard layout)
     h = nn.relu(conv(h, "Conv_2")); h = nn.relu(conv(h, "Conv_3")); skip1 = h
@@ -281,13 +312,13 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
         prob = nn.sigmoid(_d2s(
             jax.lax.conv_general_dilated(
                 feat, _s2d_kernel_1x1(p["Conv_13"]["kernel"]), (1, 1), "SAME",
-                dimension_numbers=dn, precision=prec)
+                dimension_numbers=dn, precision=prec_for("Conv_13", prec))
             + jnp.tile(p["Conv_13"]["bias"], 4)
         ))[..., 0]
         dist = _d2s(nn.softplus(
             jax.lax.conv_general_dilated(
                 feat, _s2d_kernel_1x1(p["Conv_14"]["kernel"]), (1, 1), "SAME",
-                dimension_numbers=dn, precision=prec)
+                dimension_numbers=dn, precision=prec_for("Conv_14", prec))
             + jnp.tile(p["Conv_14"]["bias"], 4)
         ))
         return prob, dist
@@ -300,14 +331,16 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
     feat = nn.relu(conv(h, "Conv_12")).astype(jnp.float32)
     prob = nn.sigmoid(
         jax.lax.conv_general_dilated(feat, p["Conv_13"]["kernel"], (1, 1), "SAME",
-                                     dimension_numbers=dn, precision=prec)
+                                     dimension_numbers=dn,
+                                     precision=prec_for("Conv_13", prec))
         + p["Conv_13"]["bias"]
     )[..., 0]
     if late_dist:
         return prob, feat
     dist = nn.softplus(
         jax.lax.conv_general_dilated(feat, p["Conv_14"]["kernel"], (1, 1), "SAME",
-                                     dimension_numbers=dn, precision=prec)
+                                     dimension_numbers=dn,
+                                     precision=prec_for("Conv_14", prec))
         + p["Conv_14"]["bias"]
     )
     return prob, dist

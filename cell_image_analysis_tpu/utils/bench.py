@@ -137,10 +137,16 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
         raster_m_cap = int(os.environ.get("CIA_BENCH_SD_MCAP", SegConfig.raster_m_cap))
     if unet_precision is None:
         unet_precision = os.environ.get("CIA_BENCH_SD_PREC", SegConfig.unet_precision)
+    lvl0_precision = os.environ.get("CIA_BENCH_SD_LVL0_PREC",
+                                    SegConfig.unet_lvl0_precision)
+    lvl0_s2d = os.environ.get(
+        "CIA_BENCH_SD_LVL0_S2D", "1" if SegConfig.unet_lvl0_s2d else "0") == "1"
     kw.update(raster_mode=raster_mode, raster_tile=raster_tile,
-              raster_m_cap=raster_m_cap, unet_precision=unet_precision)
+              raster_m_cap=raster_m_cap, unet_precision=unet_precision,
+              unet_lvl0_precision=lvl0_precision, unet_lvl0_s2d=lvl0_s2d)
     key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props,
-           unet_dtype, raster_mode, raster_tile, raster_m_cap, unet_precision)
+           unet_dtype, raster_mode, raster_tile, raster_m_cap, unet_precision,
+           lvl0_precision, lvl0_s2d)
     if key not in _STARDIST_BACKENDS:
         cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch,
                         raster_cap=raster_cap, unet_dtype=unet_dtype, **kw)

@@ -109,3 +109,37 @@ def test_late_dist_none_for_odd_shapes(unet):
 
     model, variables = unet
     assert unet_apply_late(model, variables, jnp.zeros((1, 65, 64, 1))) is None
+
+
+def test_standard_lvl0_matches_flax_exactly(unet):
+    """lvl0_s2d=False computes level 0 in the standard layout — on CPU it
+    must be BIT-equal to the flax forward (no s2d reassociation), for both
+    the full and late-dist paths, and with a lvl0 precision override."""
+    from cell_image_analysis_tpu.models.unet import apply_unet_s2d
+
+    model, variables = unet
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    for p0 in (None, "default"):
+        m = StarDistUNet(lvl0_s2d=False, lvl0_precision=p0)
+        prob, dist = apply_unet_s2d(m, variables, x)
+        np.testing.assert_array_equal(np.asarray(prob), np.asarray(prob_ref))
+        np.testing.assert_array_equal(np.asarray(dist), np.asarray(dist_ref))
+    prob, feat = apply_unet_s2d(StarDistUNet(lvl0_s2d=False), variables, x,
+                                late_dist=True)
+    np.testing.assert_array_equal(np.asarray(prob), np.asarray(prob_ref))
+    assert feat.shape == (2, 32, 48, 128)
+
+
+def test_lvl0_knobs_flow_through_config():
+    """SegConfig.unet_lvl0_* reach the backend's StarDistUNet."""
+    from cell_image_analysis_tpu.config import SegConfig
+    from cell_image_analysis_tpu.models.segmentation import StarDistBackend
+    from cell_image_analysis_tpu.utils.bench import load_synthetic_unet_variables
+
+    cfg = SegConfig(unet_lvl0_precision="default", unet_lvl0_s2d=False)
+    b = StarDistBackend(load_synthetic_unet_variables(), cfg)
+    assert b.model.lvl0_precision == "default"
+    assert b.model.lvl0_s2d is False
