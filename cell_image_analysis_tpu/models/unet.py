@@ -58,6 +58,14 @@ class StarDistUNet(nn.Module):
     # 4x under T(8,128)) — a win when the forward is HBM-bound (default
     # precision), a loss when MXU-bound ("high").
     lvl0_s2d: bool = True
+    # Winograd F(2x2, 3x3) for the 3x3 convs whose precision resolves to
+    # "high" (s2d fast path only): 16 multiplies per 2x2 output tile
+    # instead of 36, so 3-pass products cost 1.33x a single-pass direct
+    # conv instead of 3x (BENCH.md r2s10: the "high" tier made the fused
+    # U-Net MXU-bound).  "jax" = pure-XLA formulation (ops/winograd.py,
+    # Winograd domain in HBM); "pallas" = fused kernel (ops/pallas/
+    # winograd.py, Winograd domain in VMEM); "off" = direct 3-pass conv.
+    winograd: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -246,13 +254,33 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
         return default
 
     _UNSET = object()  # None is a real value (backend default = 1-pass bf16)
+    use_wino = model.winograd != "off" and cdt == jnp.float32
 
     def conv(h, name, kernel=None, bias=None, precision=_UNSET):
         W = p[name]["kernel"] if kernel is None else kernel
         b = p[name]["bias"] if bias is None else bias
+        pr = prec_for(name, prec if precision is _UNSET else precision)
+        if (use_wino and W.shape[0] == 3 and W.shape[1] == 3
+                and pr == jax.lax.Precision.HIGH
+                and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0):
+            # Winograd F(2,3) at "high"-tier product numerics: 1.33x the MXU
+            # work of a single-pass direct conv vs 3x for the direct 3-pass.
+            if model.winograd == "pallas":
+                from cell_image_analysis_tpu.ops.pallas.winograd import (
+                    winograd_conv3x3_pallas,
+                )
+
+                return winograd_conv3x3_pallas(
+                    h.astype(jnp.float32), W.astype(jnp.float32),
+                    b.astype(jnp.float32))
+            from cell_image_analysis_tpu.ops.winograd import winograd_conv3x3
+
+            return winograd_conv3x3(
+                h.astype(jnp.float32), W.astype(jnp.float32),
+                b.astype(jnp.float32), precision=jax.lax.Precision.HIGH)
         y = jax.lax.conv_general_dilated(
             h.astype(cdt), W.astype(cdt), (1, 1), "SAME", dimension_numbers=dn,
-            precision=prec_for(name, prec if precision is _UNSET else precision),
+            precision=pr,
         )
         return y + b.astype(cdt)
 

@@ -154,7 +154,7 @@ def _winograd_call(z, u_hi, u_lo, bias, th, tw, interpret):
 
 def winograd_conv3x3_pallas(x: jax.Array, W: jax.Array,
                             bias: jax.Array | None = None,
-                            th: int = 16, tw: int = 16,
+                            th: int | None = None, tw: int | None = None,
                             interpret: bool = False) -> jax.Array:
     """SAME 3x3 stride-1 correlation at "high" (3-pass bf16) numerics.
 
@@ -167,6 +167,13 @@ def winograd_conv3x3_pallas(x: jax.Array, W: jax.Array,
     assert H % 2 == 0 and Wd % 2 == 0, "winograd pallas: even H, W"
     co = W.shape[-1]
     ho, wo = H // 2, Wd // 2
+    if th is None or tw is None:
+        # VMEM budget: the M accumulator is (16, th*tw, Co) f32 and the
+        # transform temps scale with (th+1)(tw+1)*Ci — shrink the tile for
+        # wide layers (U-Net middle: 256x256 channels).
+        t = 16 if ci * co <= 128 * 128 else 8
+        th = th or t
+        tw = tw or t
     pho = (-ho) % th
     pwo = (-wo) % tw
     # shifted-pair s2d: pad 1 left/top (halo) and 1+2*p right/bottom so
@@ -178,7 +185,8 @@ def winograd_conv3x3_pallas(x: jax.Array, W: jax.Array,
 
     U = winograd_kernel_transform(W).reshape(16, ci, co)
     u_hi, u_lo = _split_hi_lo(U)
-    b = jnp.zeros((co,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    b = (jnp.zeros((co,), jnp.float32) if bias is None
+         else jnp.broadcast_to(bias.astype(jnp.float32), (co,)))
 
     out = _winograd_call(z, u_hi, u_lo, b, th, tw, interpret)
     # s2d output (B, ho', wo', 4Co) -> NHWC, slice off tile padding
