@@ -27,7 +27,11 @@ def _apply_overrides(config, args):
         max_eccentricity=args.max_eccentricity, border_margin=args.border_margin,
         min_mean_intensity=args.min_mean_intensity, min_std_intensity=args.min_std_intensity,
     )
-    seg = dataclasses.replace(config.seg, backend=args.backend)
+    seg = dataclasses.replace(
+        config.seg, backend=args.backend,
+        unet_winograd=(args.unet_winograd if args.unet_winograd is not None
+                       else config.seg.unet_winograd),
+    )
     train = dataclasses.replace(
         config.train, epochs=args.epochs, batch_size=args.batch_size,
         min_cells=getattr(args, "min_cells", config.train.min_cells),
@@ -39,9 +43,18 @@ def _apply_overrides(config, args):
 
 
 def _add_common(p: argparse.ArgumentParser):
-    p.add_argument("--backend", default="threshold", choices=["threshold", "stardist"],
-                   help="segmentation backend (stardist needs trained/ported U-Net weights)")
+    # default = the reference's actual segmentation stack (StarDist
+    # `2D_versatile_fluo` via predict_instances, improved_detection.py:44);
+    # falls back to bundled weights, then to the threshold backend, with a
+    # console notice (see main()).  Matches SegConfig.backend.
+    p.add_argument("--backend", default="stardist", choices=["threshold", "stardist"],
+                   help="segmentation backend (stardist = the reference's "
+                        "stack; uses bundled weights unless --unet-weights)")
     p.add_argument("--unet-weights", default=None, help="path to U-Net weights artifact")
+    p.add_argument("--unet-winograd", default=None,
+                   choices=["off", "auto", "jax", "pallas"],
+                   help="Winograd F(2,3) for the U-Net's high-precision 3x3 "
+                        "convs (default: SegConfig.unet_winograd)")
     p.add_argument("--border-margin", type=int, default=10)
     p.add_argument("--min-area", type=int, default=200)
     p.add_argument("--max-area", type=int, default=8000)

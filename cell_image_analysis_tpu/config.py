@@ -85,6 +85,11 @@ class SegConfig:
     nms_thresh: float = 0.3
     max_candidates: int = 1024       # top-K candidate cap per frame (static shape)
     nms_metric: str = "iou"          # "iou" | "ios" (intersection over smaller)
+    nms_max_pairs: int = 8192        # sparse-NMS candidate-pair budget
+                                     # (closest center-distance pairs get
+                                     # exact quadrature; overflow is REPORTED
+                                     # via InstanceDetails.nms_overflow and
+                                     # routes to the exact-pair fallback twin)
     raster_patch: int = 128          # local rasterization patch side
     raster_cap: int = 0              # >0: render only the top-N kept polygons
                                      # (scatter volume is K*patch^2 otherwise;
@@ -111,6 +116,14 @@ class SegConfig:
     unet_lvl0_s2d: bool = True       # space-to-depth level 0: 4x less HBM,
                                      # 4x the FLOPs — right iff level 0
                                      # runs single-pass bf16
+    unet_winograd: str = "off"       # Winograd F(2,3) for 3x3 convs whose
+                                     # precision resolves to "high": 16
+                                     # multiplies per 2x2 tile instead of 36,
+                                     # so 3-pass products cost 1.33x a
+                                     # single-pass direct conv instead of 3x.
+                                     # "pallas" (fused, Winograd domain in
+                                     # VMEM) | "jax" (XLA; auto-falls back
+                                     # above the HBM gate) | "off"
     # Normalization of the segmentation channel (csbdeep.utils.normalize
     # defaults, call site CAE_improved_modeltrain.py:53):
     norm_pmin: float = 3.0

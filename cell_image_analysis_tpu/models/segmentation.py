@@ -132,9 +132,11 @@ class StarDistBackend:
     normalized segmentation channel)."""
 
     returns_mask = False
-    # __call__ returns (labels, overflow): overflow=True means the tiled
-    # rasterizer dropped cells (per-tile m_cap exceeded) and the scoring
-    # host must re-run with the fallback backend (raster_mode="scatter")
+    # __call__ returns (labels, overflow): overflow=True means a capacity
+    # knob dropped information — the tiled rasterizer's per-tile m_cap
+    # (cells missing from labels) or the sparse NMS pair budget
+    # (suppressions possibly missed) — and the scoring host must re-run
+    # with the fallback backend (raster_mode="scatter", exact NMS pairs)
     returns_overflow = True
 
     def __init__(self, variables: dict, cfg: SegConfig = SegConfig(), model=None,
@@ -156,6 +158,7 @@ class StarDistBackend:
             precision=getattr(cfg, "unet_precision", "high"),
             lvl0_precision=(getattr(cfg, "unet_lvl0_precision", "") or None),
             lvl0_s2d=getattr(cfg, "unet_lvl0_s2d", True),
+            winograd=getattr(cfg, "unet_winograd", "off"),
         )
 
     def __call__(self, seg_channel: jax.Array):
@@ -164,7 +167,7 @@ class StarDistBackend:
         labels, details = predict_instances(
             seg_channel, self.variables, self.cfg, model=self.model
         )
-        return labels, details.raster_overflow
+        return labels, details.raster_overflow | details.nms_overflow
 
 
 def segment_frame(seg_channel: jax.Array, cfg: SegConfig = SegConfig(), unet_variables=None) -> jax.Array:

@@ -38,6 +38,10 @@ class InstanceDetails(NamedTuple):
     # (per-tile m_cap exceeded) — labels are missing cells; re-render with
     # raster_mode="scatter".  Always False on the scatter path.
     raster_overflow: jax.Array
+    # scalar bool: the sparse NMS dropped candidate pairs (nms_max_pairs
+    # exceeded) — suppressions may be missed; re-run with a larger budget
+    # (the pipeline fallback twins use the exact K*K set).
+    nms_overflow: jax.Array
 
 
 def _pad_to_multiple(x: jax.Array, m: int) -> jax.Array:
@@ -51,7 +55,8 @@ def _pad_to_multiple(x: jax.Array, m: int) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("model", "max_candidates", "prob_thresh", "nms_thresh",
                                    "metric", "patch", "height", "width", "raster_cap",
-                                   "raster_mode", "raster_tile", "raster_m_cap"))
+                                   "raster_mode", "raster_tile", "raster_m_cap",
+                                   "nms_max_pairs"))
 def _predict_instances_impl(
     model: StarDistUNet,
     variables: dict,
@@ -67,6 +72,7 @@ def _predict_instances_impl(
     raster_mode: str = "tiled",
     raster_tile: int = 128,
     raster_m_cap: int = 16,
+    nms_max_pairs: int = 8192,
 ):
     from cell_image_analysis_tpu.models.unet import (
         dist_head_rows,
@@ -102,7 +108,11 @@ def _predict_instances_impl(
     centers = jnp.stack([rows, cols], axis=1)
     cand_dists = jnp.maximum(cand_dists, 1e-3)
 
-    keep = star_nms(centers, cand_dists, top_p, valid, nms_thresh=nms_thresh, metric=metric)
+    keep, nms_ovf = star_nms(centers, cand_dists, top_p, valid,
+                             nms_thresh=nms_thresh, metric=metric,
+                             max_pairs=min(nms_max_pairs,
+                                           max_candidates * max_candidates),
+                             return_overflow=True)
     if raster_mode == "tiled" and height % raster_tile == 0 and width % raster_tile == 0:
         from cell_image_analysis_tpu.ops.rasterize import rasterize_polygons_tiled
 
@@ -114,7 +124,8 @@ def _predict_instances_impl(
                                     patch=patch, raster_cap=raster_cap)
         r_ovf = jnp.any(keep) & False
     return labels, InstanceDetails(points=centers, dists=cand_dists, probs=top_p,
-                                   keep=keep, raster_overflow=r_ovf)
+                                   keep=keep, raster_overflow=r_ovf,
+                                   nms_overflow=nms_ovf)
 
 
 def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = SegConfig(),
@@ -127,7 +138,8 @@ def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = 
                              grid=cfg.grid, dtype=cfg.unet_dtype,
                              precision=getattr(cfg, "unet_precision", "high"),
                              lvl0_precision=(getattr(cfg, "unet_lvl0_precision", "") or None),
-                             lvl0_s2d=getattr(cfg, "unet_lvl0_s2d", True))
+                             lvl0_s2d=getattr(cfg, "unet_lvl0_s2d", True),
+                             winograd=getattr(cfg, "unet_winograd", "off"))
     h, w = seg_channel.shape
     x = seg_channel
     if normalize:
@@ -139,4 +151,5 @@ def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = 
         nms_thresh=cfg.nms_thresh, metric=cfg.nms_metric, patch=cfg.raster_patch,
         raster_cap=(cfg.raster_cap or None), raster_mode=cfg.raster_mode,
         raster_tile=cfg.raster_tile, raster_m_cap=cfg.raster_m_cap,
+        nms_max_pairs=getattr(cfg, "nms_max_pairs", 8192),
     )

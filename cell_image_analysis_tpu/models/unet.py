@@ -64,7 +64,9 @@ class StarDistUNet(nn.Module):
     # conv instead of 3x (BENCH.md r2s10: the "high" tier made the fused
     # U-Net MXU-bound).  "jax" = pure-XLA formulation (ops/winograd.py,
     # Winograd domain in HBM); "pallas" = fused kernel (ops/pallas/
-    # winograd.py, Winograd domain in VMEM); "off" = direct 3-pass conv.
+    # winograd.py, Winograd domain in VMEM); "auto" = pallas only on the
+    # layers where it measured a win on-chip (ci <= 64, see _wino_mode);
+    # "off" = direct 3-pass conv.
     winograd: str = "off"
 
     @nn.compact
@@ -106,6 +108,54 @@ class StarDistUNet(nn.Module):
         prob = nn.sigmoid(nn.Conv(1, (1, 1), precision=prec)(feat))[..., 0]
         dist = nn.softplus(nn.Conv(self.n_rays, (1, 1), precision=prec)(feat))
         return prob, dist
+
+
+# The pure-XLA Winograd formulation materializes the (16, B*ho*wo, Ci) and
+# (16, B*ho*wo, Co) Winograd-domain tensors in HBM — ~4 GB per big U-Net
+# layer at the production 8x1024^2 batch, which OOMs exactly the layers
+# Winograd targets.  Above this byte budget "jax" routes to the VMEM-fused
+# Pallas kernel on TPU and to the direct 3-pass conv elsewhere.
+_WINO_JAX_HBM_BUDGET = 512 * 1024 * 1024
+
+
+def _wino_mode(mode: str, h_shape, w_shape) -> str:
+    """Resolve the requested Winograd mode for one conv call.
+
+    - "pallas" off-TPU falls back to the "jax" formulation (the Pallas TPU
+      kernel has no CPU lowering; the jax path is its numerics twin modulo
+      product tier — HIGH vs explicit hi/lo 3-pass — so CPU parity tests can
+      exercise the dispatch).
+    - "jax" above the Winograd-domain HBM gate routes to "pallas" on TPU and
+      to the direct conv ("off") elsewhere.
+    """
+    ci, co = w_shape[2], w_shape[3]
+
+    def pallas_ok():
+        # lane alignment: the kernel's halo DMA slices the (.., 4Ci) z tensor
+        # in its lane dim, which Mosaic requires 128-aligned -> Ci % 32 == 0.
+        # Thin-channel convs (the 1->32 input conv: Ci=4 in s2d layout) fall
+        # back to the direct 3-pass conv — their FLOP share is negligible.
+        return jax.default_backend() == "tpu" and ci % 32 == 0
+
+    if mode == "auto":
+        # measured per-layer policy (scripts/probe_wino.py, BENCH.md r3):
+        # the Pallas kernel beats the direct 3-pass "high" conv exactly on
+        # the narrow-channel layers (ci <= 64: Conv_3 57.1 -> 43.3 ms,
+        # Conv_12 55.3 -> 43.1 at 8x1024^2 — the layers where the direct
+        # high conv is layout-bound, f32 64-channel activations padding 2x
+        # under the (8, 128) lane tiling) and loses on the wide ones
+        # (ci >= 128: wrapper s2d/d2s HBM round trips dominate).
+        mode = "pallas" if (pallas_ok() and ci <= 64) else "off"
+    if mode == "pallas" and jax.default_backend() != "tpu":
+        mode = "jax"
+    if mode == "pallas" and not pallas_ok():
+        mode = "off"
+    if mode == "jax":
+        b, hh, ww = h_shape[0], h_shape[1], h_shape[2]
+        n_tiles = b * (hh // 2) * (ww // 2)
+        if 16 * n_tiles * (ci + co) * 4 > _WINO_JAX_HBM_BUDGET:
+            mode = "pallas" if pallas_ok() else "off"
+    return mode
 
 
 def _prec(name: str | None):
@@ -265,7 +315,8 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
                 and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0):
             # Winograd F(2,3) at "high"-tier product numerics: 1.33x the MXU
             # work of a single-pass direct conv vs 3x for the direct 3-pass.
-            if model.winograd == "pallas":
+            mode = _wino_mode(model.winograd, h.shape, W.shape)
+            if mode == "pallas":
                 from cell_image_analysis_tpu.ops.pallas.winograd import (
                     winograd_conv3x3_pallas,
                 )
@@ -273,11 +324,13 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
                 return winograd_conv3x3_pallas(
                     h.astype(jnp.float32), W.astype(jnp.float32),
                     b.astype(jnp.float32))
-            from cell_image_analysis_tpu.ops.winograd import winograd_conv3x3
+            if mode == "jax":
+                from cell_image_analysis_tpu.ops.winograd import winograd_conv3x3
 
-            return winograd_conv3x3(
-                h.astype(jnp.float32), W.astype(jnp.float32),
-                b.astype(jnp.float32), precision=jax.lax.Precision.HIGH)
+                return winograd_conv3x3(
+                    h.astype(jnp.float32), W.astype(jnp.float32),
+                    b.astype(jnp.float32), precision=jax.lax.Precision.HIGH)
+            # mode "off": direct 3-pass conv below
         y = jax.lax.conv_general_dilated(
             h.astype(cdt), W.astype(cdt), (1, 1), "SAME", dimension_numbers=dn,
             precision=pr,

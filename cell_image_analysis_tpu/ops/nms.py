@@ -135,14 +135,15 @@ def overlap_matrix(centers: jax.Array, dists: jax.Array, metric: str = "iou") ->
     return O * (1.0 - jnp.eye(K, dtype=O.dtype))
 
 
-@partial(jax.jit, static_argnames=("metric", "max_pairs"))
+@partial(jax.jit, static_argnames=("metric", "max_pairs", "return_overflow"))
 def overlap_matrix_sparse(
     centers: jax.Array,
     dists: jax.Array,
     valid: jax.Array,
     metric: str = "iou",
     max_pairs: int = 8192,
-) -> jax.Array:
+    return_overflow: bool = False,
+):
     """(K, K) pairwise overlap via candidate-pair compaction.
 
     Two star polygons can only intersect when their center distance is below
@@ -151,9 +152,13 @@ def overlap_matrix_sparse(
     center-distance candidates — quadrature runs per PAIR and scatters back.
     The quadrature integrates over the smaller polygon of each pair (best
     accuracy for both IoU and intersection-over-smaller).  If more than
-    max_pairs candidate pairs exist the farthest are dropped (logged nowhere
-    on-device — size max_pairs for the workload; 8192 covers ~16 overlaps
-    per candidate at K=512)."""
+    max_pairs candidate pairs exist the farthest are dropped; with
+    `return_overflow` the second return value flags that drop (conservative:
+    the center-distance gate d < rmax_i + rmax_j admits pairs that may not
+    truly overlap) so callers can re-run with a larger/exact pair budget —
+    the repo's overflow -> exact-fallback contract.  8192 covers ~16
+    overlaps per candidate at K=512; dense per-tile candidate packing (the
+    spatial tiler) measured >40k pairs at K=1024."""
     K = centers.shape[0]
     areas = polygon_areas(dists)
     rmax = jnp.max(dists, axis=-1)
@@ -194,10 +199,13 @@ def overlap_matrix_sparse(
     jj_s = jnp.where(pair_ok, jj, K)
     O = jnp.zeros((K + 1, K + 1), jnp.float32)
     O = O.at[ii_s, jj_s].set(o).at[jj_s, ii_s].set(o)
+    if return_overflow:
+        overflow = jnp.sum(cand.astype(jnp.int32)) > max_pairs
+        return O[:K, :K], overflow
     return O[:K, :K]
 
 
-@partial(jax.jit, static_argnames=("metric", "max_pairs"))
+@partial(jax.jit, static_argnames=("metric", "max_pairs", "return_overflow"))
 def star_nms(
     centers: jax.Array,
     dists: jax.Array,
@@ -206,10 +214,15 @@ def star_nms(
     nms_thresh: float = 0.3,
     metric: str = "iou",
     max_pairs: int = 8192,
-) -> jax.Array:
-    """Greedy NMS (exact fixpoint formulation).  Returns keep mask (K,)."""
+    return_overflow: bool = False,
+):
+    """Greedy NMS (exact fixpoint formulation).  Returns keep mask (K,);
+    with `return_overflow` also a scalar bool flagging a candidate-pair
+    budget overflow (dropped pairs = possibly-missed suppressions — callers
+    re-run with a larger max_pairs, e.g. K*K for the exact dense set)."""
     K = probs.shape[0]
-    O = overlap_matrix_sparse(centers, dists, valid, metric=metric, max_pairs=max_pairs)
+    O, ovf = overlap_matrix_sparse(centers, dists, valid, metric=metric,
+                                   max_pairs=max_pairs, return_overflow=True)
     over = O > nms_thresh
 
     # "higher priority" = higher prob; ties broken by index (stable greedy)
@@ -230,4 +243,6 @@ def star_nms(
 
     # flag derived from data so it is device-varying under shard_map
     keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.any(valid | True)))
+    if return_overflow:
+        return keep, ovf
     return keep

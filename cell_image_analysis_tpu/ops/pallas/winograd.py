@@ -48,21 +48,49 @@ def _split_hi_lo(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
-def _kernel(z_any, u_hi, u_lo, bias, out_ref, zblk, acc, sem, *, th, tw, ci, co):
+def _kernel(z_any, u_hi, u_lo, bias, out_ref, zblk, acc, sem, *, th, tw, twd,
+            ci, co):
     b = pl.program_id(0)
     bi = pl.program_id(1)
     bj = pl.program_id(2)
+    nb = pl.num_programs(0)
+    ni = pl.num_programs(1)
+    nj = pl.num_programs(2)
 
-    # halo DMA: (TH+1, TW+1, 4Ci) block of z starting at (bi*TH, bj*TW)
-    dma = pltpu.make_async_copy(
-        z_any.at[b, pl.ds(bi * th, th + 1), pl.ds(bj * tw, tw + 1), :],
-        zblk,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    # halo DMA, double-buffered: (TH+1, TWD, 4Ci) block of z starting at
+    # (bi*TH, bj*TW).  TWD = TW+1 rounded up to a sublane multiple (Mosaic:
+    # slice shapes in the second-minor dim must be 8-aligned); z is padded
+    # so the over-read is always in bounds, and only the first TW+1 columns
+    # are consumed.  TPU grids run sequentially and scratch persists across
+    # steps, so each step prefetches step s+1's block into the other buffer
+    # while computing on its own — without this the per-program DMA stall
+    # was the kernel's dominant cost (the MXU work is ~2 ms/layer while the
+    # serial-DMA kernel measured ~13 ms over the fetch floor).
+    s = (b * ni + bi) * nj + bj
+    slot = jax.lax.rem(s, 2)
 
-    zb = zblk[:]                                   # (TH+1, TW+1, 4Ci) f32
+    def dma_for(step, buf):
+        jj = jax.lax.rem(step, nj)
+        t = jax.lax.div(step, nj)
+        ii = jax.lax.rem(t, ni)
+        bb = jax.lax.div(t, ni)
+        return pltpu.make_async_copy(
+            z_any.at[bb, pl.ds(ii * th, th + 1), pl.ds(jj * tw, twd), :],
+            zblk.at[buf],
+            sem.at[buf],
+        )
+
+    @pl.when(s == 0)
+    def _():
+        dma_for(s, slot).start()
+
+    @pl.when(s + 1 < nb * ni * nj)
+    def _():
+        dma_for(s + 1, 1 - slot).start()
+
+    dma_for(s, slot).wait()
+
+    zb = zblk[slot][:, : tw + 1]                   # (TH+1, TW+1, 4Ci) f32
     # subpixel planes: channel blocks [(r0,c0), (r0,c1), (r1,c0), (r1,c1)]
     p00 = zb[:, :, 0 * ci: 1 * ci]
     p01 = zb[:, :, 1 * ci: 2 * ci]
@@ -117,15 +145,16 @@ def _kernel(z_any, u_hi, u_lo, bias, out_ref, zblk, acc, sem, *, th, tw, ci, co)
         [y.reshape(th, tw, co) for y in (y00, y01, y10, y11)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
-def _winograd_call(z, u_hi, u_lo, bias, th, tw, interpret):
+@functools.partial(jax.jit, static_argnames=("th", "tw", "twd", "interpret"))
+def _winograd_call(z, u_hi, u_lo, bias, th, tw, twd, interpret):
     B, hz, wz, ci4 = z.shape
     ci = ci4 // 4
     co = u_hi.shape[-1]
-    ho, wo = hz - 1, wz - 1                        # tiles (z has +1 halo)
+    ho = hz - 1                                    # tiles (z has +1 halo)
+    wo = wz - (twd - tw)                           # minus DMA-alignment pad
     grid = (B, ho // th, wo // tw)
 
-    kern = functools.partial(_kernel, th=th, tw=tw, ci=ci, co=co)
+    kern = functools.partial(_kernel, th=th, tw=tw, twd=twd, ci=ci, co=co)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, ho, wo, 4 * co), jnp.float32),
@@ -143,9 +172,9 @@ def _winograd_call(z, u_hi, u_lo, bias, th, tw, interpret):
                                lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 1, tw + 1, ci4), jnp.float32),       # z block
+            pltpu.VMEM((2, th + 1, twd, ci4), jnp.float32),       # z dbl-buf
             pltpu.VMEM((16, th * tw, co), jnp.float32),           # M acc
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(z, u_hi, u_lo, bias)
@@ -172,14 +201,19 @@ def winograd_conv3x3_pallas(x: jax.Array, W: jax.Array,
         # transform temps scale with (th+1)(tw+1)*Ci — shrink the tile for
         # wide layers (U-Net middle: 256x256 channels).
         t = 16 if ci * co <= 128 * 128 else 8
-        th = th or t
-        tw = tw or t
+        th = t if th is None else th
+        tw = t if tw is None else tw
     pho = (-ho) % th
     pwo = (-wo) % tw
+    # DMA block width: tw+1 rounded to the sublane multiple (Mosaic slice
+    # alignment); z gets (twd - tw - 1) extra zero cells on the right so the
+    # last tile's over-read stays in bounds.
+    twd = -((tw + 1) // -8) * 8
     # shifted-pair s2d: pad 1 left/top (halo) and 1+2*p right/bottom so
     # the paired reshape covers (ho+pho+1) cells
-    xp = jnp.pad(x, ((0, 0), (1, 1 + 2 * pho), (1, 1 + 2 * pwo), (0, 0)))
-    hz, wz = ho + pho + 1, wo + pwo + 1
+    xp = jnp.pad(x, ((0, 0), (1, 1 + 2 * pho),
+                     (1, 1 + 2 * (pwo + twd - tw - 1)), (0, 0)))
+    hz, wz = ho + pho + 1, wo + pwo + (twd - tw)
     z = xp.reshape(B, hz, 2, wz, 2, ci).transpose(0, 1, 3, 2, 4, 5)
     z = z.reshape(B, hz, wz, 4 * ci)
 
@@ -188,7 +222,7 @@ def winograd_conv3x3_pallas(x: jax.Array, W: jax.Array,
     b = (jnp.zeros((co,), jnp.float32) if bias is None
          else jnp.broadcast_to(bias.astype(jnp.float32), (co,)))
 
-    out = _winograd_call(z, u_hi, u_lo, b, th, tw, interpret)
+    out = _winograd_call(z, u_hi, u_lo, b, th, tw, twd, interpret)
     # s2d output (B, ho', wo', 4Co) -> NHWC, slice off tile padding
     hp, wp = out.shape[1], out.shape[2]
     y = out.reshape(B, hp, wp, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)

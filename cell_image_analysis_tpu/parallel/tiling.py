@@ -44,6 +44,11 @@ class TiledCells(NamedTuple):
     mean_intensity: jax.Array
     std_intensity: jax.Array
     n_cells: jax.Array          # () — global count (psum)
+    # () bool — StarDist tiled rasterizer dropped polygons in some tile
+    # (per-tile m_cap overflow; repo rule: overflow -> exact fallback, never
+    # silent loss).  None on the threshold backend.  Callers re-run with
+    # raster_mode="scatter" when set.
+    raster_overflow: jax.Array | None = None
 
 
 def _halo_exchange(tile: jax.Array, halo: int, axis: str) -> jax.Array:
@@ -60,6 +65,107 @@ def _halo_exchange(tile: jax.Array, halo: int, axis: str) -> jax.Array:
     from_prev = jnp.where(idx == 0, zeros, from_prev)          # no wraparound
     from_next = jnp.where(idx == n - 1, zeros, from_next)
     return jnp.concatenate([from_prev, tile, from_next], axis=0)
+
+
+def _cells_from_tile_labels(
+    labels: jax.Array,
+    g: jax.Array,
+    *,
+    axis: str,
+    halo: int,
+    rows: int,
+    H: int,
+    W: int,
+    cell_capacity: int,
+    crop_capacity: int,
+    label_capacity: int,
+    out_size: int,
+    border_margin: int,
+    min_area: int,
+    max_area: int,
+    max_eccentricity: float,
+    min_mean_intensity: float,
+    min_std_intensity: float,
+):
+    """Shared per-tile tail: haloed-tile label map -> QC'd, owned, CLAHE'd,
+    resized cell tensors (runs inside shard_map; both segmentation backends
+    route through it).  `labels`/`g` are (rows + 2*halo, W); QC gates apply
+    in GLOBAL frame coordinates, ownership dedups instances visible to two
+    tiles by centroid row."""
+    idx = jax.lax.axis_index(axis)
+    row0 = idx * rows  # global row of local row `halo`
+
+    props = regionprops(labels, capacity=label_capacity)
+
+    # global-coordinate QC gates (border vs the true frame edges)
+    g_minr = props.min_r + row0 - halo
+    g_maxr = props.max_r + row0 - halo
+    border_ok = (
+        (g_minr >= border_margin)
+        & (props.min_c >= border_margin)
+        & (g_maxr <= H - border_margin)
+        & (props.max_c <= W - border_margin)
+    )
+    area_ok = (props.area >= min_area) & (props.area <= max_area)
+    ecc_ok = props.eccentricity <= max_eccentricity
+    # ownership: centroid's global row in my span
+    own = (props.centroid_r >= halo) & (props.centroid_r < halo + rows)
+    # drop components touching the haloed tile's row edges: they may be
+    # truncations of larger components.  With halo >= crop_capacity this
+    # is exact — any component that large is dropped by the bbox-fits
+    # gate in the single-device path too; with smaller halos it trades a
+    # bounded approximation for less ICI traffic.
+    untruncated = (props.min_r > 0) & (props.max_r < rows + 2 * halo)
+    geo = props.valid & border_ok & area_ok & ecc_ok & own & untruncated
+
+    sel = jnp.nonzero(geo, size=cell_capacity, fill_value=label_capacity)[0]
+    ok = sel < label_capacity
+    sc = jnp.minimum(sel, label_capacity - 1)
+    minr = props.min_r[sc]
+    minc = props.min_c[sc]
+    ch = jnp.clip(props.max_r[sc] - minr, 1, crop_capacity)
+    cw = jnp.clip(props.max_c[sc] - minc, 1, crop_capacity)
+    fits = (props.max_r[sc] - minr <= crop_capacity) & (props.max_c[sc] - minc <= crop_capacity)
+    ok = ok & fits
+
+    padded = jnp.pad(g, ((0, crop_capacity), (0, crop_capacity)))
+    crops = jax.vmap(
+        lambda r0, c0: jax.lax.dynamic_slice(padded, (r0, c0), (crop_capacity, crop_capacity))
+    )(minr, minc)
+
+    ar = jnp.arange(crop_capacity)
+    rect = (ar[None, :, None] < ch[:, None, None]) & (ar[None, None, :] < cw[:, None, None])
+    arect = jnp.maximum((ch * cw).astype(jnp.float32), 1.0)
+    mean = jnp.sum(jnp.where(rect, crops, 0.0), axis=(1, 2)) / arect
+    cen = jnp.where(rect, crops - mean[:, None, None], 0.0)
+    std = jnp.sqrt(jnp.maximum(jnp.sum(cen * cen, axis=(1, 2)) / arect, 0.0))
+    valid = ok & (mean >= min_mean_intensity) & (std >= min_std_intensity)
+
+    eq = clahe_cells(crops, ch, cw)
+    cells = resize_cells(eq, ch, cw, out_size=out_size)
+    cells = jnp.where(valid[:, None, None], cells, 0.0)
+
+    n_total = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), axis)
+    out = (
+        cells[None], valid[None],
+        jnp.where(valid, props.area[sc], 0)[None],
+        jnp.where(valid, props.eccentricity[sc], 0.0)[None],
+        jnp.where(valid, mean, 0.0)[None],
+        jnp.where(valid, std, 0.0)[None],
+    )
+    return out + (n_total,)
+
+
+def _shard_map_kwargs():
+    import inspect
+
+    kwargs = {}
+    sig = inspect.signature(_shard_map)
+    if "check_vma" in sig.parameters:
+        kwargs["check_vma"] = False
+    elif "check_rep" in sig.parameters:
+        kwargs["check_rep"] = False
+    return kwargs
 
 
 @partial(
@@ -118,84 +224,23 @@ def tiled_extract_cells(
         # (rows, W) shards -> haloed (rows + 2*halo, W)
         m = _halo_exchange(mask_tile, halo, axis)
         g = _halo_exchange(green_tile, halo, axis)
-        idx = jax.lax.axis_index(axis)
-        row0 = idx * rows  # global row of local row `halo`
-
         labels, _ = label_components(m, connectivity=connectivity)
-        props = regionprops(labels, capacity=label_capacity)
-
-        # global-coordinate QC gates (border vs the true frame edges)
-        g_minr = props.min_r + row0 - halo
-        g_maxr = props.max_r + row0 - halo
-        border_ok = (
-            (g_minr >= border_margin)
-            & (props.min_c >= border_margin)
-            & (g_maxr <= H - border_margin)
-            & (props.max_c <= W - border_margin)
+        return _cells_from_tile_labels(
+            labels, g, axis=axis, halo=halo, rows=rows, H=H, W=W,
+            cell_capacity=cell_capacity, crop_capacity=crop_capacity,
+            label_capacity=label_capacity, out_size=out_size,
+            border_margin=border_margin, min_area=min_area, max_area=max_area,
+            max_eccentricity=max_eccentricity,
+            min_mean_intensity=min_mean_intensity,
+            min_std_intensity=min_std_intensity,
         )
-        area_ok = (props.area >= min_area) & (props.area <= max_area)
-        ecc_ok = props.eccentricity <= max_eccentricity
-        # ownership: centroid's global row in my span
-        own = (props.centroid_r >= halo) & (props.centroid_r < halo + rows)
-        # drop components touching the haloed tile's row edges: they may be
-        # truncations of larger components.  With halo >= crop_capacity this
-        # is exact — any component that large is dropped by the bbox-fits
-        # gate in the single-device path too; with smaller halos it trades a
-        # bounded approximation for less ICI traffic.
-        untruncated = (props.min_r > 0) & (props.max_r < rows + 2 * halo)
-        geo = props.valid & border_ok & area_ok & ecc_ok & own & untruncated
 
-        sel = jnp.nonzero(geo, size=cell_capacity, fill_value=label_capacity)[0]
-        ok = sel < label_capacity
-        sc = jnp.minimum(sel, label_capacity - 1)
-        minr = props.min_r[sc]
-        minc = props.min_c[sc]
-        ch = jnp.clip(props.max_r[sc] - minr, 1, crop_capacity)
-        cw = jnp.clip(props.max_c[sc] - minc, 1, crop_capacity)
-        fits = (props.max_r[sc] - minr <= crop_capacity) & (props.max_c[sc] - minc <= crop_capacity)
-        ok = ok & fits
-
-        padded = jnp.pad(g, ((0, crop_capacity), (0, crop_capacity)))
-        crops = jax.vmap(
-            lambda r0, c0: jax.lax.dynamic_slice(padded, (r0, c0), (crop_capacity, crop_capacity))
-        )(minr, minc)
-
-        ar = jnp.arange(crop_capacity)
-        rect = (ar[None, :, None] < ch[:, None, None]) & (ar[None, None, :] < cw[:, None, None])
-        arect = jnp.maximum((ch * cw).astype(jnp.float32), 1.0)
-        mean = jnp.sum(jnp.where(rect, crops, 0.0), axis=(1, 2)) / arect
-        cen = jnp.where(rect, crops - mean[:, None, None], 0.0)
-        std = jnp.sqrt(jnp.maximum(jnp.sum(cen * cen, axis=(1, 2)) / arect, 0.0))
-        valid = ok & (mean >= min_mean_intensity) & (std >= min_std_intensity)
-
-        eq = clahe_cells(crops, ch, cw)
-        cells = resize_cells(eq, ch, cw, out_size=out_size)
-        cells = jnp.where(valid[:, None, None], cells, 0.0)
-
-        n_total = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), axis)
-        out = (
-            cells[None], valid[None],
-            jnp.where(valid, props.area[sc], 0)[None],
-            jnp.where(valid, props.eccentricity[sc], 0.0)[None],
-            jnp.where(valid, mean, 0.0)[None],
-            jnp.where(valid, std, 0.0)[None],
-        )
-        return out + (n_total,)
-
-    import inspect
-
-    kwargs = {}
-    sig = inspect.signature(_shard_map)
-    if "check_vma" in sig.parameters:
-        kwargs["check_vma"] = False
-    elif "check_rep" in sig.parameters:
-        kwargs["check_rep"] = False
     fn = _shard_map(
         tile_fn,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-        **kwargs,
+        **_shard_map_kwargs(),
     )
     cells, valid, area, ecc, mean, std, n = fn(mask, green.astype(jnp.float32))
     return TiledCells(
@@ -206,4 +251,127 @@ def tiled_extract_cells(
         mean_intensity=mean.reshape(-1),
         std_intensity=std.reshape(-1),
         n_cells=n,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "seg_cfg", "halo", "cell_capacity", "crop_capacity",
+        "out_size", "border_margin", "min_area", "max_area",
+        "max_eccentricity", "min_mean_intensity", "min_std_intensity",
+    ),
+)
+def tiled_extract_cells_stardist(
+    seg_channel: jax.Array,
+    green: jax.Array,
+    mesh: Mesh,
+    unet_variables: dict,
+    seg_cfg=None,
+    halo: int = 160,
+    cell_capacity: int = 128,
+    crop_capacity: int = 192,
+    out_size: int = 64,
+    border_margin: int = 10,
+    min_area: int = 200,
+    max_area: int = 8000,
+    max_eccentricity: float = 0.95,
+    min_mean_intensity: float = 0.5,
+    min_std_intensity: float = 0.1,
+) -> TiledCells:
+    """StarDist-backend segmentation + extraction over row-sharded tiles —
+    the production `predict_instances` stack (U-Net -> candidates -> star
+    NMS -> rasterize, models/stardist.py) on each haloed tile, followed by
+    the same global-coordinate QC / centroid-ownership / CLAHE / resize tail
+    as the threshold tiler (reference whole-frame stack:
+    improved_detection.py:51-63; SURVEY.md section 2.4 spatial parallelism).
+
+    Equivalence contract with the fused single-device path (tested on the
+    virtual 8-device CPU mesh, tests/test_tiling_pipeline.py): exact given
+    - halo >= U-Net receptive field / 2 + 2 * max polygon radius (halo
+      pixels near the outer edge may carry slightly-off probs, but such
+      candidates cannot overlap — hence cannot suppress or overwrite — any
+      owned instance),
+    - halo and rows-per-tile multiples of 2**depth (pooling-grid phase
+      alignment: tile prob/dist values then equal the fused frame's), and
+    - per-tile candidate counts below seg_cfg.max_candidates (the fused
+      top-K and per-tile top-K then select identical candidate sets).
+    Percentile normalization stays GLOBAL (computed on the sharded frame
+    before tiling; XLA inserts the collectives).
+    """
+    from cell_image_analysis_tpu.config import SegConfig
+    from cell_image_analysis_tpu.models.stardist import predict_instances
+    from cell_image_analysis_tpu.models.unet import StarDistUNet
+
+    if seg_cfg is None:
+        seg_cfg = SegConfig()
+    axis = "data"
+    n_dev = mesh.shape[axis]
+    H, W = seg_channel.shape
+    rows = H // n_dev
+    assert rows * n_dev == H, "H must divide evenly across the mesh"
+    assert rows >= halo, "halo must not exceed rows per tile"
+    align = 2 ** seg_cfg.unet_depth
+    assert rows % align == 0 and halo % align == 0 and W % align == 0, (
+        "rows/halo/W must align to the U-Net pooling grid for tiled == fused"
+    )
+
+    model = StarDistUNet(
+        n_rays=seg_cfg.n_rays, depth=seg_cfg.unet_depth,
+        base_filters=seg_cfg.base_filters, head_filters=seg_cfg.head_filters,
+        grid=seg_cfg.grid, dtype=seg_cfg.unet_dtype,
+        precision=seg_cfg.unet_precision,
+        lvl0_precision=(seg_cfg.unet_lvl0_precision or None),
+        lvl0_s2d=seg_cfg.unet_lvl0_s2d,
+        winograd=getattr(seg_cfg, "unet_winograd", "off"),
+    )
+    label_capacity = seg_cfg.raster_cap or seg_cfg.max_candidates
+
+    # GLOBAL percentile normalization (csbdeep semantics) on the sharded
+    # frame — the per-tile U-Net must see the same normalized values as the
+    # fused whole-frame path
+    norm = normalize_percentile(
+        seg_channel.astype(jnp.float32),
+        pmin=seg_cfg.norm_pmin, pmax=seg_cfg.norm_pmax,
+    )
+
+    def tile_fn(norm_tile, green_tile):
+        t = _halo_exchange(norm_tile, halo, axis)
+        g = _halo_exchange(green_tile, halo, axis)
+        labels, details = predict_instances(
+            t, unet_variables, seg_cfg, model=model, normalize=False
+        )
+        out = _cells_from_tile_labels(
+            labels, g, axis=axis, halo=halo, rows=rows, H=H, W=W,
+            cell_capacity=cell_capacity, crop_capacity=crop_capacity,
+            label_capacity=label_capacity, out_size=out_size,
+            border_margin=border_margin, min_area=min_area, max_area=max_area,
+            max_eccentricity=max_eccentricity,
+            min_mean_intensity=min_mean_intensity,
+            min_std_intensity=min_std_intensity,
+        )
+        ovf = jax.lax.psum(
+            (details.raster_overflow | details.nms_overflow).astype(jnp.int32),
+            axis) > 0
+        return out + (ovf,)
+
+    fn = _shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                   P(), P()),
+        **_shard_map_kwargs(),
+    )
+    cells, valid, area, ecc, mean, std, n, ovf = fn(
+        norm, green.astype(jnp.float32))
+    return TiledCells(
+        cells=cells.reshape(-1, out_size, out_size),
+        valid=valid.reshape(-1),
+        area=area.reshape(-1),
+        eccentricity=ecc.reshape(-1),
+        mean_intensity=mean.reshape(-1),
+        std_intensity=std.reshape(-1),
+        n_cells=n,
+        raster_overflow=ovf,
     )

@@ -74,12 +74,16 @@ class ProductionMutantScreening:
                     seg_cfg, raster_cap=config.extract.cell_capacity
                 )
             self._segment = StarDistBackend(unet_variables, seg_cfg)
-            # exact twin for overflow re-runs: pixel-path stats AND scatter
+            # exact twin for overflow re-runs: pixel-path stats, scatter
             # rasterization (the tiled per-tile m_cap can drop cells on
-            # dense plates — its overflow flag routes here)
+            # dense plates) AND the exact K*K NMS pair set (the sparse pair
+            # budget can miss suppressions on dense candidate packs) — all
+            # three overflow flags route here
             self._segment_fallback = StarDistBackend(
                 unet_variables,
-                dataclasses.replace(seg_cfg, raster_mode="scatter"),
+                dataclasses.replace(
+                    seg_cfg, raster_mode="scatter",
+                    nms_max_pairs=seg_cfg.max_candidates ** 2),
                 runs_props=False,
             )
         self.load_trained_models()
@@ -236,40 +240,82 @@ class ProductionMutantScreening:
             """Large plates go through the halo-exchanged spatial tiler when
             a mesh is attached (SURVEY.md section 2.4 'long context'): the
             frame's rows shard over the mesh instead of replicating a
-            2048^2-4096^2 tensor into every device's fused batch graph."""
-            return (
+            2048^2-4096^2 tensor into every device's fused batch graph.
+            Both backends tile; StarDist additionally needs the rows-per-tile
+            aligned to the U-Net pooling grid (parallel/tiling.py)."""
+            if not (
                 self.mesh is not None
                 and min(seg.shape) >= cfg.extract.tile_min_side
                 and seg.shape[0] % self.mesh.shape["data"] == 0
-                and cfg.seg.backend == "threshold"
-            )
+            ):
+                return False
+            if cfg.seg.backend == "threshold" or self.unet_variables is None:
+                return True
+            rows = seg.shape[0] // self.mesh.shape["data"]
+            align = 2 ** cfg.seg.unet_depth
+            return rows % align == 0 and seg.shape[1] % align == 0
 
         def score_tiled(seg, green, file_idx):
-            from cell_image_analysis_tpu.parallel.tiling import tiled_extract_cells
+            from cell_image_analysis_tpu.parallel.tiling import (
+                tiled_extract_cells,
+                tiled_extract_cells_stardist,
+            )
             from cell_image_analysis_tpu.pipeline.scoring import (
                 compute_anomaly_scores as _score_cells_fn,
             )
 
             rows = seg.shape[0] // self.mesh.shape["data"]
+            stardist = (cfg.seg.backend != "threshold"
+                        and self.unet_variables is not None)
+            qc_kw = dict(
+                cell_capacity=cfg.extract.cell_capacity,
+                crop_capacity=cfg.extract.crop_capacity,
+                out_size=cfg.extract.out_size,
+                border_margin=cfg.qc.border_margin,
+                min_area=cfg.qc.min_area,
+                max_area=cfg.qc.max_area,
+                max_eccentricity=cfg.qc.max_eccentricity,
+                min_mean_intensity=cfg.qc.min_mean_intensity,
+                min_std_intensity=cfg.qc.min_std_intensity,
+            )
             with self.timer.stage("score_frames"):
-                tiled = tiled_extract_cells(
-                    jnp.asarray(seg.astype(np.float32)),
-                    jnp.asarray(green.astype(np.float32)),
-                    self.mesh,
-                    halo=min(cfg.extract.crop_capacity, rows),
-                    cell_capacity=cfg.extract.cell_capacity,
-                    crop_capacity=cfg.extract.crop_capacity,
-                    out_size=cfg.extract.out_size,
-                    threshold_percentile=cfg.seg.threshold_percentile,
-                    norm_pmin=cfg.seg.norm_pmin,
-                    norm_pmax=cfg.seg.norm_pmax,
-                    border_margin=cfg.qc.border_margin,
-                    min_area=cfg.qc.min_area,
-                    max_area=cfg.qc.max_area,
-                    max_eccentricity=cfg.qc.max_eccentricity,
-                    min_mean_intensity=cfg.qc.min_mean_intensity,
-                    min_std_intensity=cfg.qc.min_std_intensity,
-                )
+                if stardist:
+                    import dataclasses
+
+                    align = 2 ** cfg.seg.unet_depth
+                    halo = min(cfg.extract.crop_capacity, rows) // align * align
+                    seg_cfg = self._segment.cfg  # raster_cap-replaced twin
+                    tiled = tiled_extract_cells_stardist(
+                        jnp.asarray(seg.astype(np.float32)),
+                        jnp.asarray(green.astype(np.float32)),
+                        self.mesh, self.unet_variables, seg_cfg=seg_cfg,
+                        halo=halo, **qc_kw,
+                    )
+                    if tiled.raster_overflow is not None and bool(tiled.raster_overflow):
+                        # repo rule: capacity overflow -> exact fallback
+                        # (per-tile m_cap dropped polygons; re-render with
+                        # the scatter rasterizer)
+                        print("  tiled raster m_cap overflow -> scatter re-run")
+                        tiled = tiled_extract_cells_stardist(
+                            jnp.asarray(seg.astype(np.float32)),
+                            jnp.asarray(green.astype(np.float32)),
+                            self.mesh, self.unet_variables,
+                            seg_cfg=dataclasses.replace(
+                                seg_cfg, raster_mode="scatter",
+                                nms_max_pairs=seg_cfg.max_candidates ** 2),
+                            halo=halo, **qc_kw,
+                        )
+                else:
+                    tiled = tiled_extract_cells(
+                        jnp.asarray(seg.astype(np.float32)),
+                        jnp.asarray(green.astype(np.float32)),
+                        self.mesh,
+                        halo=min(cfg.extract.crop_capacity, rows),
+                        threshold_percentile=cfg.seg.threshold_percentile,
+                        norm_pmin=cfg.seg.norm_pmin,
+                        norm_pmax=cfg.seg.norm_pmax,
+                        **qc_kw,
+                    )
                 valid = np.asarray(tiled.valid)
                 scores = _score_cells_fn(
                     self.model, self.scoring_params, tiled.cells, valid=valid,

@@ -122,7 +122,9 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
                      runs_props: bool = True, unet_dtype: str = "float32",
                      raster_mode: str | None = None, raster_tile: int | None = None,
                      raster_m_cap: int | None = None,
-                     unet_precision: str | None = None):
+                     unet_precision: str | None = None,
+                     unet_winograd: str | None = None,
+                     nms_max_pairs: int | None = None):
     """Identity-stable StarDistBackend over the committed synthetic weights
     (the scoring graphs jit-cache on segment_fn identity)."""
     from cell_image_analysis_tpu.config import SegConfig
@@ -137,16 +139,22 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
         raster_m_cap = int(os.environ.get("CIA_BENCH_SD_MCAP", SegConfig.raster_m_cap))
     if unet_precision is None:
         unet_precision = os.environ.get("CIA_BENCH_SD_PREC", SegConfig.unet_precision)
+    if unet_winograd is None:
+        unet_winograd = os.environ.get("CIA_BENCH_SD_WINO", SegConfig.unet_winograd)
+    if nms_max_pairs is None:
+        nms_max_pairs = int(os.environ.get("CIA_BENCH_SD_NMS_PAIRS",
+                                           SegConfig.nms_max_pairs))
     lvl0_precision = os.environ.get("CIA_BENCH_SD_LVL0_PREC",
                                     SegConfig.unet_lvl0_precision)
     lvl0_s2d = os.environ.get(
         "CIA_BENCH_SD_LVL0_S2D", "1" if SegConfig.unet_lvl0_s2d else "0") == "1"
     kw.update(raster_mode=raster_mode, raster_tile=raster_tile,
               raster_m_cap=raster_m_cap, unet_precision=unet_precision,
-              unet_lvl0_precision=lvl0_precision, unet_lvl0_s2d=lvl0_s2d)
+              unet_lvl0_precision=lvl0_precision, unet_lvl0_s2d=lvl0_s2d,
+              unet_winograd=unet_winograd, nms_max_pairs=nms_max_pairs)
     key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props,
            unet_dtype, raster_mode, raster_tile, raster_m_cap, unet_precision,
-           lvl0_precision, lvl0_s2d)
+           lvl0_precision, lvl0_s2d, unet_winograd, nms_max_pairs)
     if key not in _STARDIST_BACKENDS:
         cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch,
                         raster_cap=raster_cap, unet_dtype=unet_dtype, **kw)
@@ -196,10 +204,12 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True,
             unet_dtype=os.environ.get("CIA_BENCH_SD_DTYPE", "float32"),
         )
         segment_fn = stardist_backend(**sd_kw)
-        # exact twin: re-run target on run-table OR tiled-raster (per-tile
-        # m_cap) overflow — pixel-path stats, scatter raster (no tile cap)
-        fallback = stardist_backend(runs_props=False, raster_mode="scatter",
-                                    **sd_kw)
+        # exact twin: re-run target on run-table, tiled-raster (per-tile
+        # m_cap), or NMS-pair-budget overflow — pixel-path stats, scatter
+        # raster (no tile cap), exact K*K NMS pairs
+        fallback = stardist_backend(
+            runs_props=False, raster_mode="scatter",
+            nms_max_pairs=sd_kw["max_candidates"] ** 2, **sd_kw)
         full_kw = dict(label_capacity=(segment_fn.cfg.raster_cap
                                        or segment_fn.cfg.max_candidates),
                        cell_capacity=128, fallback_segment_fn=fallback,

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Multi-host (DCN-analog) dry run: a 2-process `jax.distributed` runtime on
+CPU, each process contributing 4 virtual devices to one 8-device global mesh
+(SURVEY.md section 2.4 distributed-backend row: collectives ride ICI within
+a slice and DCN across slices — this validates the multi-PROCESS runtime
+path that single-process dryruns cannot).
+
+Asserts: the globally-sharded anomaly-style rate (psum-reduced masked mean
+over a 'data'-sharded batch) equals the single-process numpy value exactly.
+
+Usage:
+  python scripts/dryrun_dcn.py            # launcher: spawns 2 workers
+  python scripts/dryrun_dcn.py WORKER I PORT  # internal worker entry
+"""
+import os
+import socket
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_PROC = 2
+LOCAL_DEVICES = 4
+
+
+def worker(proc_id: int, port: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=N_PROC,
+        process_id=proc_id,
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    assert jax.process_count() == N_PROC
+    devs = jax.devices()
+    assert len(devs) == N_PROC * LOCAL_DEVICES, len(devs)
+    mesh = Mesh(np.array(devs), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    # deterministic global batch; each process materializes its local shard
+    n = 64
+    rng = np.random.default_rng(7)
+    scores = rng.normal(size=(n,)).astype(np.float32)
+    valid = rng.uniform(size=(n,)) > 0.25
+    flags = (scores > 0.5) & valid
+
+    per = n // (N_PROC * LOCAL_DEVICES)
+    lo = proc_id * LOCAL_DEVICES * per
+    local = np.stack([flags, valid], axis=1).astype(np.float32)[
+        lo: lo + LOCAL_DEVICES * per
+    ]
+    garr = jax.make_array_from_process_local_data(shard, local, (n, 2))
+
+    @jax.jit
+    def counts(x):
+        # anomaly/valid counts, reduced across the full (cross-process) mesh
+        # (integer-exact: the rate division stays on the host, matching the
+        # production scoring path's host-side rate computation)
+        return jnp.sum(x[:, 0].astype(jnp.int32)), jnp.sum(x[:, 1].astype(jnp.int32))
+
+    ga, gv = (int(v) for v in counts(garr))
+    want = (int(flags.sum()), int(valid.sum()))
+    assert (ga, gv) == want, ((ga, gv), want)
+    got = ga / max(gv, 1)
+    if proc_id == 0:
+        print(f"dryrun_dcn: {N_PROC} processes x {LOCAL_DEVICES} devices, "
+              f"global rate {got:.6f} == local reference — OK", flush=True)
+    jax.distributed.shutdown()
+
+
+def launcher() -> int:
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "WORKER", str(i), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(N_PROC)
+    ]
+    rc = 0
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            rc = 1
+        if p.returncode != 0:
+            rc = rc or p.returncode or 1
+        tail = "\n".join(out.strip().splitlines()[-8:])
+        if i == 0 or p.returncode != 0:
+            print(f"[worker {i} rc={p.returncode}]\n{tail}")
+    return rc
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "WORKER":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        sys.exit(launcher())

@@ -64,3 +64,72 @@ def test_tiled_screening_matches_fused_2048(rng):
             scores_tiled[f"{det}_anomaly_rate"]
             == scores_ref[f"{det}_anomaly_rate"]
         ), det
+
+
+@pytest.mark.slow
+def test_tiled_stardist_matches_fused_1024(rng):
+    """The StarDist tiled twin (VERDICT r2 item 3): U-Net -> NMS -> raster
+    -> regionprops on haloed row-shards == the fused single-device
+    predict_instances path, with ownership dedup by centroid.  halo=128 >=
+    U-Net receptive field / 2 + 2 * max polygon radius for the synthetic
+    plates (make_frame: r <= 16 * 1.8 aspect ~ 29 px)."""
+    from cell_image_analysis_tpu.parallel.tiling import tiled_extract_cells_stardist
+    from cell_image_analysis_tpu.utils.bench import stardist_backend
+
+    mesh = make_mesh(8)
+    model, params, _ = _fit_params()
+    frame = make_frame(rng, size=1024, n_cells=50)
+    seg = frame[..., 2].astype(np.float32)
+    green = frame[..., 1].astype(np.float32)
+
+    # fused single-device reference — the production screening stardist path.
+    # max_candidates must not bind for tiled == fused: the fused top-K runs
+    # over the whole 512^2 prob grid while each tile's runs over ~1/4 of it,
+    # so a binding cap makes the FUSED path miss weak cells the tiled path
+    # keeps (first run: 38 fused vs 44 tiled at the 256 default).
+    # raster_mode="scatter" on both sides: the per-tile m_cap capacity knob
+    # (and its overflow->scatter fallback) is covered by test_nms_rasterize
+    # and the screening route; this test isolates spatial-tiling equality.
+    # nms_max_pairs=65536: per-tile candidate packing is denser than the
+    # whole-frame default budget (measured >40k candidate pairs at K=1024 —
+    # the 8192 default silently kept duplicate polygons before the overflow
+    # flag existed); equality needs a non-binding budget on both sides.
+    # max_candidates=2048: the 1024 frame-wide top-K still bound (~2000
+    # above-threshold prob pixels at 50 cells — a dropped candidate at
+    # (424, 852) was the last 44-vs-45 mismatch).
+    sd = stardist_backend(max_candidates=2048, raster_mode="scatter",
+                          nms_max_pairs=1 << 18)
+    fallback = stardist_backend(max_candidates=2048, runs_props=False,
+                                raster_mode="scatter", nms_max_pairs=1 << 18)
+    scores_ref, stats_ref = score_frames_fused(
+        model, params, jnp.asarray(seg)[None], jnp.asarray(green)[None],
+        sd, fallback_segment_fn=fallback, chunk=32, caps=(64, 96),
+        cell_capacity=128, label_capacity=sd.cfg.raster_cap or 256, rcap=32,
+    )
+
+    tiled = tiled_extract_cells_stardist(
+        jnp.asarray(seg), jnp.asarray(green), mesh, sd.variables,
+        seg_cfg=sd.cfg, halo=128, cell_capacity=64, crop_capacity=192,
+    )
+    assert not bool(tiled.raster_overflow)
+    valid = np.asarray(tiled.valid)
+    scores_tiled = compute_anomaly_scores(
+        model, params, tiled.cells, valid=valid
+    )
+
+    n_ref = len(scores_ref["reconstruction_mse"])
+    n_tiled = len(scores_tiled["reconstruction_mse"])
+    assert n_ref == n_tiled > 10, (n_ref, n_tiled)
+    np.testing.assert_allclose(
+        np.sort(scores_tiled["reconstruction_mse"]),
+        np.sort(scores_ref["reconstruction_mse"]),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(tiled.area)[valid]), np.sort(stats_ref["area"])
+    )
+    for det in ("conservative", "moderate", "ensemble", "fft"):
+        assert (
+            scores_tiled[f"{det}_anomaly_rate"]
+            == scores_ref[f"{det}_anomaly_rate"]
+        ), det

@@ -133,6 +133,87 @@ def test_standard_lvl0_matches_flax_exactly(unet):
     assert feat.shape == (2, 32, 48, 128)
 
 
+@pytest.mark.parametrize("mode", ["jax", "pallas"])
+def test_winograd_matches_flax_apply(unet, mode):
+    """apply_unet_s2d with winograd enabled == model.apply to the Winograd
+    reassociation tolerance.  Every 3x3 conv whose precision resolves to
+    "high" dispatches through ops/winograd (on CPU, Precision.HIGH products
+    are true f32, so the only deviation is transform reassociation);
+    mode="pallas" exercises the off-TPU fallback to the jax formulation
+    (ADVICE r2: the Pallas TPU kernel has no CPU lowering)."""
+    model, variables = unet
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    m = StarDistUNet(winograd=mode)
+    prob, dist = apply_unet_s2d(m, variables, x)
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_winograd_tail_and_late_dist(unet):
+    """Winograd dispatch through the s2d decoder tail and the late-dist
+    path (the production fused-graph branches)."""
+    model, variables = unet
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    m = StarDistUNet(winograd="jax")
+    prob, dist = apply_unet_s2d(m, variables, x, tail_s2d=True)
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
+                               rtol=1e-4, atol=1e-4)
+    prob, feat = apply_unet_s2d(m, variables, x, late_dist=True)
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=1e-5)
+    assert feat.shape == (2, 32, 48, 128)
+
+
+def test_winograd_odd_shape_falls_back_to_direct(unet):
+    """Odd spatial dims can't tile F(2,3); the dispatch must fall back to
+    the direct conv inside the flax path (via unet_apply) and still run."""
+    model, variables = unet
+    m = StarDistUNet(winograd="jax")
+    x = jnp.zeros((1, 66, 64, 1), jnp.float32)
+    prob, dist = unet_apply(m, variables, x)
+    assert prob.shape == (1, 33, 32)
+
+
+def test_winograd_hbm_gate():
+    """The "jax" formulation is HBM-gated: above the Winograd-domain byte
+    budget it resolves to "pallas" on TPU / direct conv elsewhere (ADVICE
+    r2: ungated it OOMs exactly the production layers it targets)."""
+    from cell_image_analysis_tpu.models.unet import _WINO_JAX_HBM_BUDGET, _wino_mode
+
+    small = _wino_mode("jax", (2, 64, 96, 1), (3, 3, 4, 128))
+    assert small == "jax"
+    # the production level-0 s2d conv: (8, 512, 512, 128) x (3,3,128,128)
+    big = _wino_mode("jax", (8, 512, 512, 128), (3, 3, 128, 128))
+    assert big in ("pallas", "off")
+    if jax.default_backend() == "tpu":
+        assert big == "pallas"
+    else:
+        assert big == "off"
+    # explicit sanity: the gated tensor really exceeds the budget
+    assert 16 * 8 * 256 * 256 * (128 + 128) * 4 > _WINO_JAX_HBM_BUDGET
+
+
+def test_winograd_knob_flows_through_config():
+    """SegConfig.unet_winograd reaches the backend's StarDistUNet."""
+    from cell_image_analysis_tpu.config import SegConfig
+    from cell_image_analysis_tpu.models.segmentation import StarDistBackend
+    from cell_image_analysis_tpu.utils.bench import load_synthetic_unet_variables
+
+    cfg = SegConfig(unet_winograd="pallas")
+    b = StarDistBackend(load_synthetic_unet_variables(), cfg)
+    assert b.model.winograd == "pallas"
+
+
 def test_lvl0_knobs_flow_through_config():
     """SegConfig.unet_lvl0_* reach the backend's StarDistUNet."""
     from cell_image_analysis_tpu.config import SegConfig
