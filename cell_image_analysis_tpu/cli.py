@@ -31,6 +31,10 @@ def _apply_overrides(config, args):
         config.seg, backend=args.backend,
         unet_winograd=(args.unet_winograd if args.unet_winograd is not None
                        else config.seg.unet_winograd),
+        unet_hilo=(args.unet_hilo if args.unet_hilo is not None
+                   else config.seg.unet_hilo),
+        unet_wb16=(args.unet_wb16 if args.unet_wb16 is not None
+                   else config.seg.unet_wb16),
     )
     train = dataclasses.replace(
         config.train, epochs=args.epochs, batch_size=args.batch_size,
@@ -55,6 +59,15 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["off", "auto", "jax", "pallas"],
                    help="Winograd F(2,3) for the U-Net's high-precision 3x3 "
                         "convs (default: SegConfig.unet_winograd)")
+    p.add_argument("--unet-hilo", default=None,
+                   choices=["off", "auto", "all"],
+                   help="hi/lo channel-packed single-pass high-precision "
+                        "convs (default: SegConfig.unet_hilo)")
+    p.add_argument("--unet-wb16", default=None,
+                   choices=["off", "auto", "pack", "split"],
+                   help="bf16-exact-kernel 2-pass high-precision convs; "
+                        "'auto' uses them iff the loaded artifact's kernels "
+                        "are bf16-exact (default: SegConfig.unet_wb16)")
     p.add_argument("--border-margin", type=int, default=10)
     p.add_argument("--min-area", type=int, default=200)
     p.add_argument("--max-area", type=int, default=8000)

@@ -116,6 +116,20 @@ class SegConfig:
     unet_lvl0_s2d: bool = True       # space-to-depth level 0: 4x less HBM,
                                      # 4x the FLOPs — right iff level 0
                                      # runs single-pass bf16
+    unet_wb16: str = "auto"          # bf16-exact-kernel 2-pass conv for 3x3
+                                     # convs whose precision resolves "high"
+                                     # (ops/hilo_conv.wb16_conv): "auto" =
+                                     # use iff the loaded artifact's kernels
+                                     # are bf16-exact (bundled artifacts are;
+                                     # genuine f32 Keras imports fall back to
+                                     # 3-pass "high"), "pack"/"split" force,
+                                     # "off" disables
+    unet_hilo: str = "off"           # hi/lo channel-packed single-pass conv
+                                     # for 3x3 convs whose precision resolves
+                                     # to "high" (ops/hilo_conv.py): same
+                                     # three bf16 products as XLA "high" in
+                                     # ONE default conv.  "auto" = measured-
+                                     # win layers (ci <= 64) | "all" | "off"
     unet_winograd: str = "off"       # Winograd F(2,3) for 3x3 convs whose
                                      # precision resolves to "high": 16
                                      # multiplies per 2x2 tile instead of 36,

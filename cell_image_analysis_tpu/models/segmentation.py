@@ -143,7 +143,6 @@ class StarDistBackend:
                  runs_props: bool = True):
         from cell_image_analysis_tpu.models.unet import StarDistUNet
 
-        self.cfg = cfg
         self.variables = variables
         # runs_props: stage A computes stats through the run-length label
         # regionprops (ops/runs.regionprops_from_labels — no CC, no fg
@@ -151,6 +150,17 @@ class StarDistBackend:
         # exact pixel path (pass a runs_props=False twin as
         # fallback_segment_fn).
         self.runs_props = runs_props
+        import dataclasses
+
+        from cell_image_analysis_tpu.models.unet import resolve_wb16
+
+        # resolve "auto" ONCE and write it back: downstream consumers of
+        # self.cfg (the spatial tiler, overflow twins) must run the same
+        # conv formulation or tiled==fused bit-equality breaks
+        cfg = dataclasses.replace(
+            cfg, unet_wb16=resolve_wb16(getattr(cfg, "unet_wb16", "off"),
+                                        variables))
+        self.cfg = cfg
         self.model = model or StarDistUNet(
             n_rays=cfg.n_rays, depth=cfg.unet_depth,
             base_filters=cfg.base_filters, head_filters=cfg.head_filters,
@@ -159,6 +169,8 @@ class StarDistBackend:
             lvl0_precision=(getattr(cfg, "unet_lvl0_precision", "") or None),
             lvl0_s2d=getattr(cfg, "unet_lvl0_s2d", True),
             winograd=getattr(cfg, "unet_winograd", "off"),
+            hilo=getattr(cfg, "unet_hilo", "off"),
+            wb16=cfg.unet_wb16,  # resolved above
         )
 
     def __call__(self, seg_channel: jax.Array):

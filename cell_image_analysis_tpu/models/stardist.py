@@ -133,13 +133,18 @@ def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = 
     """Full predict_instances parity path.  `seg_channel` is the raw channel;
     normalization uses csbdeep percentile defaults (cfg.norm_pmin/pmax)."""
     if model is None:
+        from cell_image_analysis_tpu.models.unet import resolve_wb16
+
         model = StarDistUNet(n_rays=cfg.n_rays, depth=cfg.unet_depth,
                              base_filters=cfg.base_filters, head_filters=cfg.head_filters,
                              grid=cfg.grid, dtype=cfg.unet_dtype,
                              precision=getattr(cfg, "unet_precision", "high"),
                              lvl0_precision=(getattr(cfg, "unet_lvl0_precision", "") or None),
                              lvl0_s2d=getattr(cfg, "unet_lvl0_s2d", True),
-                             winograd=getattr(cfg, "unet_winograd", "off"))
+                             winograd=getattr(cfg, "unet_winograd", "off"),
+                             hilo=getattr(cfg, "unet_hilo", "off"),
+                             wb16=resolve_wb16(getattr(cfg, "unet_wb16", "auto"),
+                                               variables))
     h, w = seg_channel.shape
     x = seg_channel
     if normalize:

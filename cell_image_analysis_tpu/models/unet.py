@@ -68,6 +68,24 @@ class StarDistUNet(nn.Module):
     # layers where it measured a win on-chip (ci <= 64, see _wino_mode);
     # "off" = direct 3-pass conv.
     winograd: str = "off"
+    # Hi/lo channel-packed single-pass conv (ops/hilo_conv.py) for the 3x3
+    # convs whose precision resolves to "high" (s2d fast path only): the
+    # same three bf16 products as XLA "high" computed in ONE default conv
+    # on packed bf16-exact operands.  "auto" = only the layers where it
+    # measured a win on-chip (ci <= 64 — where "high" is layout-bound);
+    # "all" = every high 3x3 conv; "off" = direct 3-pass.  Takes precedence
+    # over `winograd` where both would apply.
+    hilo: str = "off"
+    # bf16-exact-kernel 2-pass conv (ops/hilo_conv.wb16_conv) for the convs
+    # whose precision resolves to "high" (s2d fast path only).  Requires the
+    # ARTIFACT to ship bf16-exact kernels (round_kernels_bf16 at artifact
+    # build; kernels_bf16_exact verifies) — then "high"'s three products
+    # collapse to two (W_lo == 0), computed in one default conv on
+    # [x_hi, x_lo] packed operands.  "pack" = packed single conv, "split" =
+    # two barriered convs, "off" = direct 3-pass.  Callers resolve "auto" ->
+    # "pack"/"off" via `resolve_wb16(mode, variables)` BEFORE constructing
+    # the module.  Takes precedence over `hilo`/`winograd`.
+    wb16: str = "off"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -254,6 +272,28 @@ def _up_kernel(W: jax.Array) -> jax.Array:
     return Wp
 
 
+_WB16_CACHE: dict[int, bool] = {}
+
+
+def resolve_wb16(mode: str, variables: dict) -> str:
+    """Resolve a SegConfig.unet_wb16 mode to a concrete module setting.
+
+    "auto" (the safe default for arbitrary artifacts) becomes "pack" iff the
+    artifact's conv kernels are bf16-exact (one host-side numpy check,
+    cached per params object) — bundled artifacts built with
+    `round_kernels_bf16` get the 2-pass conv, genuine f32 Keras imports
+    silently keep the 3-pass "high" path."""
+    if mode in ("off", "pack", "split"):
+        return mode
+    params = variables.get("params", variables)
+    key = id(params)
+    if key not in _WB16_CACHE:
+        from cell_image_analysis_tpu.ops.hilo_conv import kernels_bf16_exact
+
+        _WB16_CACHE[key] = kernels_bf16_exact(params)
+    return "pack" if _WB16_CACHE[key] else "off"
+
+
 def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
                    train: bool = False, tail_s2d: bool | None = None,
                    late_dist: bool = False,
@@ -305,11 +345,52 @@ def apply_unet_s2d(model: StarDistUNet, variables: dict, x: jax.Array,
 
     _UNSET = object()  # None is a real value (backend default = 1-pass bf16)
     use_wino = model.winograd != "off" and cdt == jnp.float32
+    hilo = getattr(model, "hilo", "off")
+    use_hilo = hilo != "off" and cdt == jnp.float32
+    wb16 = getattr(model, "wb16", "off")
+    use_wb16 = wb16 != "off" and cdt == jnp.float32
 
     def conv(h, name, kernel=None, bias=None, precision=_UNSET):
         W = p[name]["kernel"] if kernel is None else kernel
         b = p[name]["bias"] if bias is None else bias
         pr = prec_for(name, prec if precision is _UNSET else precision)
+        if (use_wb16 and pr == jax.lax.Precision.HIGH
+                and (wb16 in ("pack-all", "split-all") or W.shape[2] <= 64)):
+            # bf16-exact kernels: "high" numerics from 2 products instead of
+            # 3, in one default conv (ops/hilo_conv.wb16_conv).  Valid for
+            # any spatial kernel size; _s2d_kernel outputs stay bf16-exact
+            # (pure entry placement) so the s2d level 0 qualifies too.
+            # "pack"/"split" gate to ci <= 64 — the measured-win layers
+            # (probe_wb16.py: Conv_3 34.4 vs high 55.8 ms, Conv_12 33.4 vs
+            # 53.0; ci >= 128 loses to the 2Ci packed-input
+            # materialization: Conv_10 53.5 vs 49.5).  "-all" suffix =
+            # ungated (probe use).
+            from cell_image_analysis_tpu.ops.hilo_conv import (
+                wb16_conv,
+                wb16_conv_split,
+            )
+
+            impl = (wb16_conv_split if wb16 in ("split", "split-all")
+                    else wb16_conv)
+            return impl(h.astype(jnp.float32), W.astype(jnp.float32),
+                        b.astype(jnp.float32), dimension_numbers=dn)
+        if (use_hilo and W.shape[0] == 3 and W.shape[1] == 3
+                and pr == jax.lax.Precision.HIGH
+                and (hilo in ("all", "sum") or W.shape[2] <= 64)):
+            # XLA "high"'s three products at explicit hi/lo bf16 operands,
+            # f32-accumulated (ops/hilo_conv.py): "sum"/"sum-auto" = three
+            # separate bf16-operand convs (half the operand bytes of high's
+            # internal f32 passes); "auto"/"all" = one conv on 3Ci packed
+            # operands.  "auto"/"sum-auto" gate to ci <= 64 (measured-win)
+            from cell_image_analysis_tpu.ops.hilo_conv import (
+                hilo_conv3x3,
+                hilo_conv3x3_sum,
+            )
+
+            impl = (hilo_conv3x3_sum if hilo in ("sum", "sum-auto")
+                    else hilo_conv3x3)
+            return impl(h.astype(jnp.float32), W.astype(jnp.float32),
+                        b.astype(jnp.float32), dimension_numbers=dn)
         if (use_wino and W.shape[0] == 3 and W.shape[1] == 3
                 and pr == jax.lax.Precision.HIGH
                 and h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0):

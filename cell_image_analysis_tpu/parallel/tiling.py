@@ -324,6 +324,11 @@ def tiled_extract_cells_stardist(
         lvl0_precision=(seg_cfg.unet_lvl0_precision or None),
         lvl0_s2d=seg_cfg.unet_lvl0_s2d,
         winograd=getattr(seg_cfg, "unet_winograd", "off"),
+        hilo=getattr(seg_cfg, "unet_hilo", "off"),
+        # "auto" cannot be resolved here (variables are tracers under jit);
+        # callers resolve via models/unet.resolve_wb16 (pipeline/screening.py)
+        wb16=(lambda m: "off" if m == "auto" else m)(
+            getattr(seg_cfg, "unet_wb16", "off")),
     )
     label_capacity = seg_cfg.raster_cap or seg_cfg.max_candidates
 

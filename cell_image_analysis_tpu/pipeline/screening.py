@@ -73,6 +73,11 @@ class ProductionMutantScreening:
                 seg_cfg = dataclasses.replace(
                     seg_cfg, raster_cap=config.extract.cell_capacity
                 )
+            # StarDistBackend resolves wb16 "auto" -> "pack"/"off" against
+            # the loaded artifact and writes it back into its cfg; the tiled
+            # route below reads self._segment.cfg so both paths run the same
+            # conv formulation (seg_cfg is a static jit arg in the tiler,
+            # where the host check couldn't run)
             self._segment = StarDistBackend(unet_variables, seg_cfg)
             # exact twin for overflow re-runs: pixel-path stats, scatter
             # rasterization (the tiled per-tile m_cap can drop cells on

@@ -95,9 +95,14 @@ def unet_train_step(model: StarDistUNet, params, opt_state, batch, tx):
 
 
 def fit_unet(frames: list, label_maps: list, epochs: int = 40, lr: float = 3e-4,
-             n_rays: int = 32, grid: int = 2, seed: int = 42, verbose: bool = False):
+             n_rays: int = 32, grid: int = 2, seed: int = 42, verbose: bool = False,
+             init_variables: dict | None = None):
     """Train on a list of (H, W) float frames + int label maps (all same
-    shape).  Returns (model, variables) usable by models/stardist.py."""
+    shape).  Returns (model, variables) usable by models/stardist.py.
+
+    init_variables: optional warm-start params (e.g. the committed sparse
+    artifact) — fine-tuning converges the linear-gradient dist-MAE head far
+    faster than training rays from scratch."""
     imgs, probs, dists = [], [], []
     for img, lab in zip(frames, label_maps):
         i, p, d = make_unet_training_batch(lab, img, grid=grid, n_rays=n_rays)
@@ -110,6 +115,8 @@ def fit_unet(frames: list, label_maps: list, epochs: int = 40, lr: float = 3e-4,
 
     model, variables = init_unet(jax.random.PRNGKey(seed), size=imgs.shape[1],
                                  n_rays=n_rays, grid=(grid, grid))
+    if init_variables is not None:
+        variables = jax.tree.map(jnp.asarray, init_variables)
     params = variables["params"]
     tx = optax.adam(lr)
     opt_state = tx.init(params)

@@ -30,9 +30,19 @@ _UNET_WEIGHTS_PATH = os.path.join(_REPO_ROOT, "assets", "unet_synthetic.pkl")
 
 
 def _make_frames(n_frames: int, size: int, n_cells: int, seed: int = 7):
-    from cell_image_analysis_tpu.utils.synthetic import make_frame
+    from cell_image_analysis_tpu.utils.synthetic import (
+        make_frame,
+        make_frame_instances,
+    )
 
     rng = np.random.default_rng(seed)
+    if size >= 2048:
+        # windowed renderer: same cell/noise distribution (clustering=0), but
+        # O(n_cells * r^2) — plate-scale generation in seconds instead of
+        # ~2 min/frame (the truncated exp tails are ~1e-10 of amp, far below
+        # the uint16 quantization step)
+        return [make_frame_instances(rng, size=size, n_cells=n_cells)[0]
+                for _ in range(n_frames)]
     frames = [make_frame(rng, size=size, n_cells=n_cells) for _ in range(n_frames)]
     return frames
 
@@ -124,6 +134,8 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
                      raster_m_cap: int | None = None,
                      unet_precision: str | None = None,
                      unet_winograd: str | None = None,
+                     unet_hilo: str | None = None,
+                     unet_wb16: str | None = None,
                      nms_max_pairs: int | None = None):
     """Identity-stable StarDistBackend over the committed synthetic weights
     (the scoring graphs jit-cache on segment_fn identity)."""
@@ -141,6 +153,10 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
         unet_precision = os.environ.get("CIA_BENCH_SD_PREC", SegConfig.unet_precision)
     if unet_winograd is None:
         unet_winograd = os.environ.get("CIA_BENCH_SD_WINO", SegConfig.unet_winograd)
+    if unet_hilo is None:
+        unet_hilo = os.environ.get("CIA_BENCH_SD_HILO", SegConfig.unet_hilo)
+    if unet_wb16 is None:
+        unet_wb16 = os.environ.get("CIA_BENCH_SD_WB16", SegConfig.unet_wb16)
     if nms_max_pairs is None:
         nms_max_pairs = int(os.environ.get("CIA_BENCH_SD_NMS_PAIRS",
                                            SegConfig.nms_max_pairs))
@@ -151,10 +167,12 @@ def stardist_backend(max_candidates: int = 256, raster_patch: int = 96,
     kw.update(raster_mode=raster_mode, raster_tile=raster_tile,
               raster_m_cap=raster_m_cap, unet_precision=unet_precision,
               unet_lvl0_precision=lvl0_precision, unet_lvl0_s2d=lvl0_s2d,
-              unet_winograd=unet_winograd, nms_max_pairs=nms_max_pairs)
+              unet_winograd=unet_winograd, unet_hilo=unet_hilo,
+              unet_wb16=unet_wb16, nms_max_pairs=nms_max_pairs)
     key = (max_candidates, raster_patch, prob_thresh, raster_cap, runs_props,
            unet_dtype, raster_mode, raster_tile, raster_m_cap, unet_precision,
-           lvl0_precision, lvl0_s2d, unet_winograd, nms_max_pairs)
+           lvl0_precision, lvl0_s2d, unet_winograd, unet_hilo, unet_wb16,
+           nms_max_pairs)
     if key not in _STARDIST_BACKENDS:
         cfg = SegConfig(max_candidates=max_candidates, raster_patch=raster_patch,
                         raster_cap=raster_cap, unet_dtype=unet_dtype, **kw)
@@ -397,10 +415,13 @@ def run_bench(n_frames: int = 48, size: int = 1024, n_cells: int = 80,
     backend="stardist" benches the reference's actual segmentation stack
     (U-Net -> star NMS -> rasterize) against its own CPU baseline
     (CPU_BASELINE_STARDIST.json: Keras-on-CPU forward + numpy NMS oracle).
-    It runs frame_batch=8: the 16-frame U-Net graph OOMs v5e HBM — the
-    f32[16,1024,1024,32] level-0 conv activation lays out T(8,128) with 32
-    channels against 128 lanes, a 4x padding expansion to 8G per buffer."""
-    fb = 8 if backend == "stardist" else 16
+    It runs frame_batch=8: the 16-frame U-Net graph OOM'd v5e HBM pre-s2d —
+    the f32[16,1024,1024,32] level-0 conv activation lays out T(8,128) with
+    32 channels against 128 lanes, a 4x padding expansion to 8G per buffer.
+    The s2d level-0 rewrite ((16,512,512,128), no lane padding) + late dist
+    head shrank that; CIA_BENCH_SD_FB overrides for re-measurement."""
+    fb = (int(os.environ.get("CIA_BENCH_SD_FB", "8"))
+          if backend == "stardist" else 16)
     res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells,
                         frame_batch=fb, backend=backend)
     base = load_cpu_baseline(backend)

@@ -65,25 +65,61 @@ def main():
                     help="train on the real chip (default: pinned CPU)")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--dense", action="store_true",
+                    help="train on crowded/touching plates with TRUE "
+                         "instance labels from the generator geometry "
+                         "(utils/synthetic.make_frame_instances) instead of "
+                         "sparse threshold-oracle labels — the realistic-"
+                         "weights regime (2D_versatile_fluo is trained on "
+                         "crowded fluorescence plates)")
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--warm-start", default=None, metavar="PKL",
+                    help="initialize from an existing artifact (e.g. "
+                         "assets/unet_synthetic.pkl) and fine-tune")
+    ap.add_argument("--bf16-kernels", action="store_true",
+                    help="round conv kernels to bf16-exact f32 at save "
+                         "(ops/hilo_conv.round_kernels_bf16) — the artifact "
+                         "contract for the wb16 2-pass high-precision conv "
+                         "path; the self-check re-runs on the rounded "
+                         "weights so the shipped model is what's validated")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "assets", "unet_synthetic.pkl"))
     args = ap.parse_args()
 
     rng = np.random.default_rng(123)
-    # match the bench plate density: 80 cells / 1024^2 = 5 / 256^2; vary a bit
     frames, labels = [], []
-    for i in range(args.frames):
-        n = int(rng.integers(4, 9))
-        f = make_frame(rng, size=args.size, n_cells=n)
-        seg = f[..., 2].astype(np.float64)
-        frames.append(normalize_np(seg))
-        labels.append(threshold_labels_np(seg))
+    if args.dense:
+        # crowded regime: bench density (5 / 256^2-equivalent) up to ~4x it,
+        # with 0-60% of cells placed touching an existing one; labels are
+        # exact per-cell geometry (valid even where instances touch)
+        from cell_image_analysis_tpu.utils.synthetic import make_frame_instances
+        for i in range(args.frames):
+            dens = rng.uniform(1.0, 4.0) * (args.size / 256) ** 2
+            n = max(3, int(rng.normal(5 * dens, dens)))
+            clust = float(rng.uniform(0.0, 0.6))
+            f, lab = make_frame_instances(rng, size=args.size, n_cells=n,
+                                          clustering=clust)
+            frames.append(normalize_np(f[..., 2].astype(np.float64)))
+            labels.append(lab)
+    else:
+        # match the bench plate density: 80 cells / 1024^2 = 5 / 256^2
+        for i in range(args.frames):
+            n = int(rng.integers(4, 9))
+            f = make_frame(rng, size=args.size, n_cells=n)
+            seg = f[..., 2].astype(np.float64)
+            frames.append(normalize_np(seg))
+            labels.append(threshold_labels_np(seg))
     print(f"training on {len(frames)} frames, "
           f"{sum(int(l.max()) for l in labels)} instances total", flush=True)
 
-    model, variables = fit_unet(frames, labels, epochs=args.epochs, lr=3e-3,
-                                verbose=True)
+    init_variables = None
+    if args.warm_start:
+        with open(args.warm_start, "rb") as fh:
+            init_variables = {"params": pickle.load(fh)["params"]}
+        print(f"warm-starting from {args.warm_start}", flush=True)
+    model, variables = fit_unet(frames, labels, epochs=args.epochs, lr=args.lr,
+                                verbose=True, init_variables=init_variables)
 
     # quick self-check: predict_instances on a fresh frame
     import jax.numpy as jnp
@@ -91,12 +127,24 @@ def main():
     from cell_image_analysis_tpu.config import SegConfig
     from cell_image_analysis_tpu.models.stardist import predict_instances
 
-    f = make_frame(np.random.default_rng(999), size=args.size, n_cells=6)
+    if args.bf16_kernels:
+        from cell_image_analysis_tpu.ops.hilo_conv import round_kernels_bf16
+
+        variables = {"params": round_kernels_bf16(
+            jax.tree.map(np.asarray, variables["params"]))}
+
     cfg = SegConfig(max_candidates=256, raster_patch=96)
+    if args.dense:
+        from cell_image_analysis_tpu.utils.synthetic import make_frame_instances
+        f, lab_true = make_frame_instances(
+            np.random.default_rng(999), size=args.size,
+            n_cells=max(6, 10 * (args.size // 256) ** 2), clustering=0.5)
+    else:
+        f = make_frame(np.random.default_rng(999), size=args.size, n_cells=6)
+        lab_true = threshold_labels_np(f[..., 2].astype(np.float64))
     lab_pred, details = predict_instances(
         jnp.asarray(f[..., 2].astype(np.float32)), variables, cfg)
     lab_pred = np.asarray(lab_pred)
-    lab_true = threshold_labels_np(f[..., 2].astype(np.float64))
     n_pred, n_true = int(lab_pred.max()), int(lab_true.max())
     cover = ((lab_pred > 0) & (lab_true > 0)).sum() / max((lab_true > 0).sum(), 1)
     print(f"self-check: {n_pred} predicted vs {n_true} true instances, "
@@ -108,6 +156,8 @@ def main():
         "params": jax.tree.map(np.asarray, variables["params"]),
         "meta": {
             "epochs": args.epochs, "frames": args.frames, "size": args.size,
+            "dense": bool(args.dense),
+            "bf16_kernels": bool(args.bf16_kernels),
             "n_pred": n_pred, "n_true": n_true, "coverage": float(cover),
         },
     }

@@ -203,6 +203,119 @@ def test_winograd_hbm_gate():
     assert 16 * 8 * 256 * 256 * (128 + 128) * 4 > _WINO_JAX_HBM_BUDGET
 
 
+@pytest.mark.parametrize("mode", ["auto", "all"])
+def test_hilo_matches_flax_apply(unet, mode):
+    """apply_unet_s2d with the hi/lo channel-packed convs == model.apply.
+    On CPU the default conv is true f32, so the packed decomposition's only
+    deviation is the dropped x_lo@W_lo term (~2^-16 relative)."""
+    model, variables = unet
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(variables, x, train=False)
+    m = StarDistUNet(hilo=mode)
+    prob, dist = apply_unet_s2d(m, variables, x)
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hilo_op_matches_high_conv():
+    """ops/hilo_conv.hilo_conv3x3 == the precision=HIGH direct conv (on CPU
+    both decompose over exact f32 products; the shared terms match to the
+    dropped-lo term's magnitude)."""
+    from cell_image_analysis_tpu.ops.hilo_conv import hilo_conv3x3
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 64)).astype(np.float32))
+    W = jnp.asarray((rng.normal(size=(3, 3, 64, 32)) /
+                     np.sqrt(9 * 64)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, W, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST) + b
+    y = hilo_conv3x3(x, W, b)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(y - ref).max()) / scale < 5e-5
+
+
+@pytest.mark.parametrize("mode", ["pack", "split"])
+def test_wb16_matches_flax_apply(unet, mode):
+    """apply_unet_s2d with the bf16-exact-kernel 2-pass convs == model.apply
+    ON THE ROUNDED ARTIFACT (the wb16 model contract: kernels are rounded at
+    artifact build and every backend runs the same rounded weights).  On CPU
+    the default conv is true f32, so the only deviation is x's two-term bf16
+    representation (~2^-17 relative)."""
+    from cell_image_analysis_tpu.ops.hilo_conv import round_kernels_bf16
+
+    model, variables = unet
+    rounded = {"params": round_kernels_bf16(
+        jax.tree.map(np.asarray, variables["params"]))}
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(2, 64, 96, 1)).astype(np.float32)
+    )
+    prob_ref, dist_ref = model.apply(rounded, x, train=False)
+    m = StarDistUNet(wb16=mode)
+    prob, dist = apply_unet_s2d(m, rounded, x)
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(prob_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(dist_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_wb16_op_matches_highest_conv():
+    """ops/hilo_conv.wb16_conv on a bf16-exact kernel == the precision=
+    HIGHEST direct conv to x's 16-bit representation error."""
+    from cell_image_analysis_tpu.ops.hilo_conv import wb16_conv, wb16_conv_split
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 64)).astype(np.float32))
+    W = np.asarray((rng.normal(size=(3, 3, 64, 32)) /
+                    np.sqrt(9 * 64)).astype(np.float32))
+    W = jnp.asarray(W.astype("bfloat16").astype(np.float32))  # bf16-exact
+    b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32) * 0.1)
+    ref = jax.lax.conv_general_dilated(
+        x, W, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST) + b
+    scale = float(jnp.abs(ref).max())
+    for impl in (wb16_conv, wb16_conv_split):
+        y = impl(x, W, b)
+        assert float(jnp.abs(y - ref).max()) / scale < 2e-5, impl.__name__
+
+
+def test_wb16_auto_resolution():
+    """resolve_wb16: 'auto' -> 'pack' on a rounded artifact, 'off' on raw
+    f32 weights; explicit modes pass through."""
+    from cell_image_analysis_tpu.models.unet import resolve_wb16
+    from cell_image_analysis_tpu.ops.hilo_conv import (
+        kernels_bf16_exact,
+        round_kernels_bf16,
+    )
+    from cell_image_analysis_tpu.utils.bench import load_synthetic_unet_variables
+
+    variables = load_synthetic_unet_variables()
+    params = jax.tree.map(np.asarray, variables["params"])
+    rounded = {"params": round_kernels_bf16(params)}
+    assert kernels_bf16_exact(rounded["params"])
+    assert resolve_wb16("auto", rounded) == "pack"
+    assert resolve_wb16("off", rounded) == "off"
+    assert resolve_wb16("split", rounded) == "split"
+    # raw trained f32 weights are (generically) not bf16-exact
+    if not kernels_bf16_exact(params):
+        assert resolve_wb16("auto", {"params": params}) == "off"
+
+
+def test_hilo_knob_flows_through_config():
+    from cell_image_analysis_tpu.config import SegConfig
+    from cell_image_analysis_tpu.models.segmentation import StarDistBackend
+    from cell_image_analysis_tpu.utils.bench import load_synthetic_unet_variables
+
+    cfg = SegConfig(unet_hilo="auto")
+    b = StarDistBackend(load_synthetic_unet_variables(), cfg)
+    assert b.model.hilo == "auto"
+
+
 def test_winograd_knob_flows_through_config():
     """SegConfig.unet_winograd reaches the backend's StarDistUNet."""
     from cell_image_analysis_tpu.config import SegConfig
