@@ -109,6 +109,47 @@ def _split_impl(impl: str) -> tuple[str, str]:
     return hist_impl, interp_impl
 
 
+def _quantize14(crop: jax.Array, valid: jax.Array):
+    """Step 1: min-max stretch to 14-bit gray — EXACT for integer-valued
+    crops (every uint16 TIFF channel).
+
+    The oracle quantizes in float64; doing it in f32 flips knife-edge pixels
+    into the neighboring 14-bit level (~8/4096 px/cell), which shifts tile
+    histograms by one count and every interpolated output in those tiles by
+    ~1/16320 — measured 6e-5 on most parity cells, and the 200x
+    RobustScaler/RBF amplification of that noise is what flipped the r3
+    on-chip FFT parity cell (BENCH.md r3s3).  Integer-valued crops admit an
+    exact path shared with the oracle: with k = v-lo and D = hi-lo exact
+    int32, round_half_even(k*16383/D) = q - (tie & odd(q)) where
+    q = (2*k*16383 + D) // (2*D); max 2*65535*16383 + 65535 = 65535*32767
+    < 2^31.  The predicate (integer values, 0 <= v < 2^24, hi-lo <= 65535)
+    is mirrored verbatim in ops/oracle/clahe_np.py so both sides always
+    take the same branch.  Non-integer inputs keep the f32 estimate (the
+    documented one-quantum divergence class, clahe_np.py header).
+
+    Returns (img14 int32, lo f32, hi f32)."""
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    v = crop.astype(jnp.float32)
+    lo = jnp.min(jnp.where(valid, v, big))
+    hi = jnp.max(jnp.where(valid, v, -big))
+    scale = jnp.where(hi > lo, (NR_OF_GRAY - 1) / (hi - lo), 0.0)
+    img14_f = jnp.round((v - lo) * scale).astype(jnp.int32)
+
+    kf = jnp.clip(v - lo, 0.0, 65535.0)  # exact for in-range integer inputs
+    k = kf.astype(jnp.int32)
+    D = jnp.maximum(jnp.clip(hi - lo, 0.0, 65535.0).astype(jnp.int32), 1)
+    t = 2 * k * (NR_OF_GRAY - 1) + D
+    q = t // (2 * D)
+    tie = (t % (2 * D)) == 0
+    img14_i = q - (tie & ((q % 2) == 1)).astype(jnp.int32)
+
+    exact_ok = (jnp.all(jnp.where(valid, (v == jnp.round(v)) & (v >= 0)
+                                  & (v < 16777216.0), True))
+                & (hi - lo <= 65535.0) & (hi > lo))
+    img14 = jnp.where(exact_ok, img14_i, img14_f)
+    return jnp.where(hi > lo, img14, 0), lo, hi
+
+
 def _clahe_one(
     crop: jax.Array,
     h: jax.Array,
@@ -123,14 +164,11 @@ def _clahe_one(
     cap = crop.shape[0]
     ys = jnp.arange(cap)
     valid = (ys[:, None] < h) & (ys[None, :] < w)
-
-    # 1. 14-bit min-max quantization over the valid region.
     big = jnp.float32(jnp.finfo(jnp.float32).max)
-    v = crop.astype(jnp.float32)
-    lo = jnp.min(jnp.where(valid, v, big))
-    hi = jnp.max(jnp.where(valid, v, -big))
-    scale = jnp.where(hi > lo, (NR_OF_GRAY - 1) / (hi - lo), 0.0)
-    img14 = jnp.round((v - lo) * scale).astype(jnp.int32)
+
+    # 1. 14-bit min-max quantization over the valid region (exact-integer
+    # path for integer-valued crops — see _quantize14).
+    img14, lo, hi = _quantize14(crop, valid)
     bin_size = 1 + NR_OF_GRAY // nbins
     binned = jnp.clip(img14 // bin_size, 0, nbins - 1)
 
@@ -346,12 +384,7 @@ def _clahe_cells_pallas(crops, heights, widths, clip_limit, nbins, grid, vcap):
     def prepare(crop, h, w):
         ys = jnp.arange(cap)
         valid = (ys[:, None] < h) & (ys[None, :] < w)
-        big = jnp.float32(jnp.finfo(jnp.float32).max)
-        v = crop.astype(jnp.float32)
-        lo = jnp.min(jnp.where(valid, v, big))
-        hi = jnp.max(jnp.where(valid, v, -big))
-        scale = jnp.where(hi > lo, (NR_OF_GRAY - 1) / (hi - lo), 0.0)
-        img14 = jnp.round((v - lo) * scale).astype(jnp.int32)
+        img14, lo, hi = _quantize14(crop, valid)
         bin_size = 1 + NR_OF_GRAY // nbins
         binned = jnp.clip(img14 // bin_size, 0, nbins - 1)
 

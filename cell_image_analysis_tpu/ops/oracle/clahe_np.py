@@ -102,7 +102,23 @@ def equalize_adapthist_np(
     lo, hi = image.min(), image.max()
     if hi <= lo:
         return np.zeros_like(image)
-    img14 = np.round((image - lo) / (hi - lo) * (NR_OF_GRAY - 1)).astype(np.int64)
+    # 14-bit quantization: EXACT integer round-half-even for integer-valued
+    # images (every uint16 TIFF channel) — k*16383/D is a small rational, so
+    # both this oracle and the device kernel (ops/clahe._quantize14, same
+    # predicate verbatim) evaluate it exactly and always agree.  Float-path
+    # knife-edge pixels were the r3 parity-flip amplifier (BENCH.md r3s3);
+    # vs skimage this is the already-documented one-quantum divergence class
+    # (module header), now pinned at exact rational ties only.
+    if (np.all(image == np.round(image)) and np.all((image >= 0) & (image < 16777216.0))
+            and hi - lo <= 65535.0):
+        k = (image - lo).astype(np.int64)
+        D = int(hi - lo)
+        t = 2 * k * (NR_OF_GRAY - 1) + D
+        q = t // (2 * D)
+        tie = (t % (2 * D)) == 0
+        img14 = q - (tie & (q % 2 == 1))
+    else:
+        img14 = np.round((image - lo) / (hi - lo) * (NR_OF_GRAY - 1)).astype(np.int64)
 
     kh, kw = max(1, h // grid), max(1, w // grid)
     pad_top, pad_left = kh // 2, kw // 2

@@ -415,12 +415,14 @@ def run_bench(n_frames: int = 48, size: int = 1024, n_cells: int = 80,
     backend="stardist" benches the reference's actual segmentation stack
     (U-Net -> star NMS -> rasterize) against its own CPU baseline
     (CPU_BASELINE_STARDIST.json: Keras-on-CPU forward + numpy NMS oracle).
-    It runs frame_batch=8: the 16-frame U-Net graph OOM'd v5e HBM pre-s2d —
-    the f32[16,1024,1024,32] level-0 conv activation lays out T(8,128) with
-    32 channels against 128 lanes, a 4x padding expansion to 8G per buffer.
-    The s2d level-0 rewrite ((16,512,512,128), no lane padding) + late dist
-    head shrank that; CIA_BENCH_SD_FB overrides for re-measurement."""
-    fb = (int(os.environ.get("CIA_BENCH_SD_FB", "8"))
+    StarDist also runs frame_batch=16 (matches production screening's
+    batch_max): the 16-frame U-Net graph OOM'd v5e HBM pre-s2d — the
+    f32[16,1024,1024,32] level-0 conv activation lays out T(8,128) with 32
+    channels against 128 lanes, a 4x padding expansion to 8G per buffer —
+    but the s2d level-0 rewrite ((16,512,512,128), no lane padding) + late
+    dist head freed it (measured r3s2: fb16 2409.1 vs fb8 2280.2, +5.7%).
+    CIA_BENCH_SD_FB overrides for re-measurement."""
+    fb = (int(os.environ.get("CIA_BENCH_SD_FB", "16"))
           if backend == "stardist" else 16)
     res = run_tpu_bench(n_frames=n_frames, size=size, n_cells=n_cells,
                         frame_batch=fb, backend=backend)

@@ -73,6 +73,15 @@ def main():
                          "weights regime (2D_versatile_fluo is trained on "
                          "crowded fluorescence plates)")
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--fg-d2", type=float, default=1.6,
+                    help="dense-mode label footprint (normalized ellipse "
+                         "d2 cutoff).  1.6 matches the threshold-oracle "
+                         "extent the sparse regime implies (measured: the "
+                         "p90-threshold component area is ~1.47x the "
+                         "fg_d2=1.1 geometric label, scripts/probe notes "
+                         "r3s2) — consistent label extents keep the dist "
+                         "head's radius convention identical across the "
+                         "sparse and dense regimes")
     ap.add_argument("--warm-start", default=None, metavar="PKL",
                     help="initialize from an existing artifact (e.g. "
                          "assets/unet_synthetic.pkl) and fine-tune")
@@ -99,7 +108,8 @@ def main():
             n = max(3, int(rng.normal(5 * dens, dens)))
             clust = float(rng.uniform(0.0, 0.6))
             f, lab = make_frame_instances(rng, size=args.size, n_cells=n,
-                                          clustering=clust)
+                                          clustering=clust,
+                                          fg_d2=args.fg_d2)
             frames.append(normalize_np(f[..., 2].astype(np.float64)))
             labels.append(lab)
     else:
@@ -138,7 +148,8 @@ def main():
         from cell_image_analysis_tpu.utils.synthetic import make_frame_instances
         f, lab_true = make_frame_instances(
             np.random.default_rng(999), size=args.size,
-            n_cells=max(6, 10 * (args.size // 256) ** 2), clustering=0.5)
+            n_cells=max(6, 10 * (args.size // 256) ** 2), clustering=0.5,
+            fg_d2=args.fg_d2)
     else:
         f = make_frame(np.random.default_rng(999), size=args.size, n_cells=6)
         lab_true = threshold_labels_np(f[..., 2].astype(np.float64))

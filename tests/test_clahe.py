@@ -40,7 +40,11 @@ def test_clahe_matches_oracle_various_sizes(rng):
     outs = _run_batch(imgs)
     for im, out in zip(imgs, outs):
         ref = equalize_adapthist_np(im, clip_limit=0.02)
-        np.testing.assert_allclose(out, ref, atol=2e-4, err_msg=f"size {im.shape}")
+        # integer-valued inputs take the exact shared quantization path
+        # (ops/clahe._quantize14 == oracle int round-half-even), so the only
+        # residue is the f32 interpolation/rescale (~1e-7); knife-edge
+        # quantization flips (6e-5, the r3 parity-flip amplifier) are gone
+        np.testing.assert_allclose(out, ref, atol=2e-6, err_msg=f"size {im.shape}")
 
 
 def test_clahe_uint16_vs_float_invariance(rng):
