@@ -25,7 +25,7 @@ from cell_image_analysis_tpu.utils import jaxcache
 
 jaxcache.enable()
 
-from cell_image_analysis_tpu.utils.bench import run_bench
+from cell_image_analysis_tpu.utils.bench import run_bench, run_train_bench
 
 if __name__ == "__main__":
     import argparse
@@ -38,5 +38,12 @@ if __name__ == "__main__":
                          " vs its own CPU_BASELINE_STARDIST.json) or"
                          " threshold (the classical fast path, vs"
                          " CPU_BASELINE.json)")
+    ap.add_argument("--mode", choices=["screen", "train"], default="screen",
+                    help="screen (headline screening throughput) or train"
+                         " (fit_cae training throughput vs the Keras-on-CPU"
+                         " loop, CPU_BASELINE_TRAIN.json)")
     args = ap.parse_args()
-    print(run_bench(backend=args.backend))
+    if args.mode == "train":
+        print(run_train_bench())
+    else:
+        print(run_bench(backend=args.backend))

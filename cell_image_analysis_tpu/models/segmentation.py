@@ -179,7 +179,8 @@ class StarDistBackend:
         labels, details = predict_instances(
             seg_channel, self.variables, self.cfg, model=self.model
         )
-        return labels, details.raster_overflow | details.nms_overflow
+        return labels, (details.raster_overflow | details.nms_overflow
+                        | details.cand_overflow)
 
 
 def segment_frame(seg_channel: jax.Array, cfg: SegConfig = SegConfig(), unet_variables=None) -> jax.Array:

@@ -42,6 +42,15 @@ class InstanceDetails(NamedTuple):
     # exceeded) — suppressions may be missed; re-run with a larger budget
     # (the pipeline fallback twins use the exact K*K set).
     nms_overflow: jax.Array
+    # scalar bool: the top-K candidate cap likely dropped whole CELLS —
+    # the count of above-threshold LOCAL MAXIMA of the prob map (each a
+    # potential NMS winner, ~1 per cell) exceeds max_candidates.  Raw
+    # above-threshold pixel count is NOT the signal (~25 px cluster per
+    # cell center and NMS suppresses them; K = a few per expected cell is
+    # fine).  This silently bound at plate scale before r4: 4096^2 frames
+    # extracted 62/1280 planted cells with every other overflow flag green
+    # (BENCH.md r4s3).  max_candidates must scale with frame area.
+    cand_overflow: jax.Array
 
 
 def _pad_to_multiple(x: jax.Array, m: int) -> jax.Array:
@@ -103,6 +112,14 @@ def _predict_instances_impl(
         top_p, top_i = jax.lax.top_k(flat, max_candidates)
         cand_dists = dist.reshape(-1, dist.shape[-1])[top_i]
     valid = top_p > prob_thresh
+    # candidate-cap guard (InstanceDetails.cand_overflow): count the
+    # above-threshold local maxima of the prob map (3x3 neighborhood) —
+    # each is a potential NMS winner, so more of them than max_candidates
+    # means the top-K likely dropped whole cells
+    neigh = jax.lax.reduce_window(
+        prob, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    n_peaks = jnp.sum((prob >= neigh) & (prob > prob_thresh))
+    cand_ovf = n_peaks > max_candidates
     rows = (top_i // wp).astype(jnp.float32) * gy
     cols = (top_i % wp).astype(jnp.float32) * gx
     centers = jnp.stack([rows, cols], axis=1)
@@ -125,7 +142,7 @@ def _predict_instances_impl(
         r_ovf = jnp.any(keep) & False
     return labels, InstanceDetails(points=centers, dists=cand_dists, probs=top_p,
                                    keep=keep, raster_overflow=r_ovf,
-                                   nms_overflow=nms_ovf)
+                                   nms_overflow=nms_ovf, cand_overflow=cand_ovf)
 
 
 def predict_instances(seg_channel: jax.Array, variables: dict, cfg: SegConfig = SegConfig(),

@@ -250,25 +250,34 @@ def _clahe_one(
     # as block one-hot matmuls: per corner, rows = onehot_tile @ maps picks
     # each pixel's tile mapping and the bin one-hot row-dot reads its value —
     # all MXU work instead of 4 HBM gathers per pixel.
+    # EXACT-INTEGER BLEND: weights are the integer coefficient NUMERATORS
+    # (ny in {kh-ay, ay}, nx in {kw-ax, ax}) carried as f32 exact integers;
+    # the accumulated S = sum(ny*nx*map) <= kh*kw*16383 < 2^24 stays exact
+    # in f32, and the final out = S // (kh*kw) is an int32 floor-division —
+    # bit-identical to the oracle's rational floor.  The previous fractional
+    # f32 blend + floor flipped one gray quantum wherever the true value sat
+    # near an integer (182/14550 px at 150x97), which was the r3 parity
+    # residue (VERDICT r3 item 1, BENCH.md r4s1).
     yp = ys[:, None] + kh // 2
     xp = ys[None, :] + kw // 2
     pty = yp // kh
     ptx = xp // kw
-    cy = (yp % kh).astype(jnp.float32) / kh.astype(jnp.float32)
-    cx = (xp % kw).astype(jnp.float32) / kw.astype(jnp.float32)
+    ay = yp % kh
+    ax = xp % kw
 
     corner_tiles = []
     corner_w = []
     for ey in (0, 1):
         my = jnp.clip(pty - 1 + ey, 0, ns_h - 1)
-        wy = cy if ey else 1.0 - cy
+        ny = ay if ey else kh - ay
         for ex in (0, 1):
             mx = jnp.clip(ptx - 1 + ex, 0, ns_w - 1)
-            wx = cx if ex else 1.0 - cx
+            nx = ax if ex else kw - ax
             corner_tiles.append((my * ns_cap + mx).reshape(-1))
-            corner_w.append((wy * wx).reshape(-1))
+            corner_w.append((ny * nx).reshape(-1).astype(jnp.float32))
     corner_tiles = jnp.stack(corner_tiles)   # (4, P)
-    corner_w = jnp.stack(corner_w)           # (4, P)
+    corner_w = jnp.stack(corner_w)           # (4, P) integer-valued f32
+    area_i = kh * kw                         # int32 blend denominator
 
     P = cap * cap
     if interp_impl == "mxu":
@@ -318,7 +327,8 @@ def _clahe_one(
             return None, vals
 
         _, out_blocks = jax.lax.scan(interp_step, None, (ct_b, cw_b, bin_pb))
-        out = jnp.floor(out_blocks.reshape(-1)[:P].reshape(cap, cap))
+        S = out_blocks.reshape(-1)[:P].astype(jnp.int32)
+        out = (S // area_i).reshape(cap, cap).astype(jnp.float32)
     else:
         maps_flat = maps.reshape(-1)
         bflat = binned.reshape(-1)
@@ -326,7 +336,7 @@ def _clahe_one(
         for c in range(4):
             gathered = maps_flat[corner_tiles[c] * nbins + bflat]
             out = out + corner_w[c] * gathered.astype(jnp.float32)
-        out = jnp.floor(out.reshape(cap, cap))
+        out = (out.astype(jnp.int32) // area_i).reshape(cap, cap).astype(jnp.float32)
 
     # 6. Min-max rescale to [0, 1] over the valid region.
     lo2 = jnp.min(jnp.where(valid, out, big))
@@ -362,6 +372,11 @@ def clahe_cells(
     if impl == "auto":
         impl = "scatter" if jax.default_backend() == "cpu" else "mxu"
     cap = crops.shape[-1]
+    # exact-integer blend bound: S = kh*kw*(NR_OF_GRAY-1) must stay < 2^24
+    # for f32 accumulation to be exact (kh, kw <= cap // grid)
+    assert max(1, cap // grid) ** 2 * (NR_OF_GRAY - 1) < 2 ** 24, (
+        f"crop capacity {cap} too large for the exact f32 integer blend"
+    )
     vcap = cap + max(1, cap // grid)  # covers ceil(s/k)*k <= s + k - 1
     if impl == "pallas":
         return _clahe_cells_pallas(crops, heights, widths, clip_limit, nbins, grid, vcap)
@@ -406,17 +421,18 @@ def _clahe_cells_pallas(crops, heights, widths, clip_limit, nbins, grid, vcap):
         xp = ys[None, :] + kw // 2
         pty = yp // kh
         ptx = xp // kw
-        cy = (yp % kh).astype(jnp.float32) / kh.astype(jnp.float32)
-        cx = (xp % kw).astype(jnp.float32) / kw.astype(jnp.float32)
+        # integer numerator weights — see _clahe_one's exact-integer blend
+        ay = yp % kh
+        ax = xp % kw
         tiles4, w4 = [], []
         for ey in (0, 1):
             my = jnp.clip(pty - 1 + ey, 0, ns_h - 1)
-            wy = cy if ey else 1.0 - cy
+            ny = ay if ey else kh - ay
             for ex in (0, 1):
                 mx = jnp.clip(ptx - 1 + ex, 0, ns_w - 1)
-                wx = cx if ex else 1.0 - cx
+                nx = ax if ex else kw - ax
                 tiles4.append((my * NS_CAP + mx).reshape(-1))
-                w4.append((wy * wx).reshape(-1))
+                w4.append((ny * nx).reshape(-1).astype(jnp.float32))
         ptiles = jnp.stack(tiles4, axis=1)  # (P, 4)
         pw = jnp.stack(w4, axis=1)
         clim = jnp.maximum(1, (clip_limit * (kh * kw).astype(jnp.float32)).astype(jnp.int32))

@@ -38,8 +38,20 @@ not installed; each is bounded and documented):
 - skimage's map_histogram multiplies the cumsum by a float scale then
   truncates (`astype(int)`); we floor the exact integer product — at most
   one gray quantum apart where the float product lands within an ulp of an
-  integer.
-All three are far inside the 1e-3 anomaly-rate tolerance budgeted in
+  integer;
+- skimage blends the 4 corner mappings in float64 then truncates; we
+  compute the blend as EXACT integer arithmetic, floor(S / (kh*kw)) with
+  S = sum of ny*nx*map over corners (ny/nx the integer coefficient
+  numerators) — the true rational value, where the float64 path can land
+  one ulp below an integer and floor one quantum low.  Exactness is what
+  lets the device kernel (f32 accumulation of integers < 2^24) agree with
+  this oracle bit-for-bit instead of inheriting f32-vs-f64 knife-edge
+  flips (the r3 parity residue, BENCH.md r3s3/r4s1);
+- the clip limit is computed as float32(clip_limit) * float32(kh*kw)
+  truncated, mirroring the device kernel (f64 is unavailable on TPU); vs
+  skimage's float64 product this can differ by one count when the product
+  sits within ~1e-5 of an integer (e.g. 0.02 * 100).
+All four are far inside the 1e-3 anomaly-rate tolerance budgeted in
 BASELINE.md.  tests/test_clahe_golden.py checks this module against an
 independently written literal-loop transcription of the same published
 algorithm (different code path: per-pixel loops, no vectorization) so a
@@ -131,7 +143,8 @@ def equalize_adapthist_np(
 
     ns_h = padded.shape[0] // kh - 1   # = ceil(h/kh)
     ns_w = padded.shape[1] // kw - 1
-    clim = max(1, int(clip_limit * kh * kw))
+    # f32 product to mirror the device kernel exactly (header: divergence 4)
+    clim = max(1, int(np.float32(clip_limit) * np.float32(kh * kw)))
 
     # Per-tile clipped histograms -> gray mappings.
     maps = np.zeros((ns_h, ns_w, nbins), dtype=np.int64)
@@ -148,24 +161,25 @@ def equalize_adapthist_np(
             m = (np.cumsum(hist) * (NR_OF_GRAY - 1)) // (kh * kw)
             maps[ty, tx] = np.minimum(m, NR_OF_GRAY - 1)
 
-    # Bilinear interpolation of mappings over the original pixels.
+    # Bilinear interpolation of mappings over the original pixels — EXACT
+    # integer blend: out = floor(S / (kh*kw)) with S = sum over corners of
+    # ny*nx*map, ny in {kh-ay, ay}, nx in {kw-ax, ax} (header: divergence 3).
     ys, xs = np.mgrid[0:h, 0:w]
     yp, xp = ys + pad_top, xs + pad_left
     ty, tx = yp // kh, xp // kw
-    cy = (yp % kh) / kh
-    cx = (xp % kw) / kw
+    ay = yp % kh
+    ax = xp % kw
     b = binned[pad_top : pad_top + h, pad_left : pad_left + w]
 
-    out = np.zeros((h, w), dtype=np.float64)
+    S = np.zeros((h, w), dtype=np.int64)
     for ey in (0, 1):
         my = np.clip(ty - 1 + ey, 0, ns_h - 1)
-        wy = cy if ey else 1.0 - cy
+        ny = ay if ey else kh - ay
         for ex in (0, 1):
             mx = np.clip(tx - 1 + ex, 0, ns_w - 1)
-            wx = cx if ex else 1.0 - cx
-            out += wy * wx * maps[my, mx, b]
-
-    out = np.floor(out)  # skimage casts the blended float back to the integer dtype
+            nx = ax if ex else kw - ax
+            S += ny * nx * maps[my, mx, b]
+    out = (S // (kh * kw)).astype(np.float64)
     lo2, hi2 = out.min(), out.max()
     if hi2 <= lo2:
         return np.zeros_like(out)

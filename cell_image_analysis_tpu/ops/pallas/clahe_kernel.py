@@ -13,7 +13,8 @@ scan steps.  This kernel fuses the whole per-cell core in VMEM — grid =
     vvalid (Rv, 128)    int32  virtual-grid validity
     pbins  (Rp, 128)    int32  bin of each output pixel
     ptiles (4, Rp, 128) int32  the 4 corner tile ids per output pixel
-    pw     (4, Rp, 128) f32    the 4 bilinear corner weights
+    pw     (4, Rp, 128) f32    the 4 bilinear corner weight NUMERATORS
+                               (integer-valued; denominator = area)
     clim   (1, 1)       int32  clip limit (counts)   [SMEM]
     area   (1, 1)       f32    kernel tile area kh*kw [SMEM]
   output:
@@ -169,7 +170,11 @@ def _kernel(clim_ref, area_ref, vbins_ref, vtiles_ref, vvalid_ref,
                     preferred_element_type=jnp.float32,
                 )                                            # (_PROWS,128,NB)
             vals = vals + w * jnp.sum(rows * Bm, axis=-1)
-        out_ref[sl, :] = jnp.floor(vals)
+        # exact-integer blend (see ops/clahe._clahe_one): the weights are
+        # integer numerators, vals = S < 2^24 is f32-exact, and the output
+        # is the rational floor S // (kh*kw)
+        area_i = jnp.maximum(area.astype(jnp.int32), 1)
+        out_ref[sl, :] = (vals.astype(jnp.int32) // area_i).astype(jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, Rp // _PROWS, interp_step, 0)

@@ -356,7 +356,8 @@ def tiled_extract_cells_stardist(
             min_std_intensity=min_std_intensity,
         )
         ovf = jax.lax.psum(
-            (details.raster_overflow | details.nms_overflow).astype(jnp.int32),
+            (details.raster_overflow | details.nms_overflow
+             | details.cand_overflow).astype(jnp.int32),
             axis) > 0
         return out + (ovf,)
 

@@ -180,7 +180,10 @@ def score_frames(
         warnings.warn(
             "score_frames: run-table capacity overflow with no "
             "fallback_segment_fn — candidate extraction may have dropped or "
-            "corrupted cells; pass fallback_segment_fn or raise rcap",
+            "corrupted cells; pass fallback_segment_fn or raise the bound "
+            "capacity (rcap; for the StarDist backend also max_candidates, "
+            "which must scale with frame area — see "
+            "InstanceDetails.cand_overflow)",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -602,7 +605,10 @@ def score_frames_fused_wait(pend: dict) -> tuple:
         warnings.warn(
             "score_frames_fused: run-table capacity overflow with no "
             "fallback_segment_fn — candidate extraction may have dropped or "
-            "corrupted cells; pass fallback_segment_fn or raise rcap",
+            "corrupted cells; pass fallback_segment_fn or raise the bound "
+            "capacity (rcap; for the StarDist backend also max_candidates, "
+            "which must scale with frame area — see "
+            "InstanceDetails.cand_overflow)",
             RuntimeWarning,
             stacklevel=2,
         )

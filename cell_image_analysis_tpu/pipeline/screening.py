@@ -91,7 +91,49 @@ class ProductionMutantScreening:
                     nms_max_pairs=seg_cfg.max_candidates ** 2),
                 runs_props=False,
             )
+        # plate-scale backends: capacity knobs scale with frame AREA (the
+        # defaults are tuned for <=1024^2; max_candidates=256 top-K was
+        # measured to silently drop ~95% of cells on 4096^2 plates before
+        # InstanceDetails.cand_overflow existed — BENCH.md r4s3).  Keyed by
+        # frame shape so segment_fn identity stays stable across batches
+        # (the scoring graphs jit-cache on it).
+        self._plate_backends: dict = {}
         self.load_trained_models()
+
+    def _capacity_scale(self, h: int, w: int) -> int:
+        """Frame-area multiple of the 1024^2 tuning baseline (>= 1)."""
+        return max(1, -(-(h * w) // (1024 * 1024)))
+
+    def _segment_for(self, h: int, w: int):
+        """(segment_fn, fallback_fn) with area-scaled capacities."""
+        scale = self._capacity_scale(h, w)
+        if self._segment_mask is not None or scale == 1:
+            return (self._segment_mask or self._segment,
+                    self._segment_fallback)
+        key = (h, w)
+        if key not in self._plate_backends:
+            import dataclasses
+
+            from cell_image_analysis_tpu.models.segmentation import (
+                StarDistBackend,
+            )
+
+            base = self._segment.cfg
+            cfg = dataclasses.replace(
+                base,
+                max_candidates=base.max_candidates * scale,
+                raster_cap=(base.raster_cap or base.max_candidates) * scale,
+                nms_max_pairs=base.nms_max_pairs * scale,
+            )
+            primary = StarDistBackend(self.unet_variables, cfg)
+            fb = StarDistBackend(
+                self.unet_variables,
+                dataclasses.replace(cfg, raster_mode="scatter",
+                                    nms_max_pairs=cfg.max_candidates ** 2),
+                runs_props=False,
+            )
+            self._plate_backends[key] = (primary, fb)
+        return self._plate_backends[key]
 
     def load_trained_models(self):
         """improved_detection.py:23-46 — the artifact contract."""
@@ -215,16 +257,21 @@ class ProductionMutantScreening:
                 return
             segs = jnp.asarray(np.stack([f[0] for f in pend_frames]).astype(np.float32))
             greens = jnp.asarray(np.stack([f[1] for f in pend_frames]).astype(np.float32))
+            # plate frames: capacity knobs scale with frame area (r4s3)
+            scale = self._capacity_scale(segs.shape[1], segs.shape[2])
+            seg_fn, fb_fn = self._segment_for(segs.shape[1], segs.shape[2])
             with self.timer.stage("score_frames"):
                 pend = score_frames_fused_start(
                     self.model, self.scoring_params, segs, greens,
-                    self._segment_mask or self._segment,
-                    fallback_segment_fn=self._segment_fallback,
+                    seg_fn,
+                    fallback_segment_fn=fb_fn,
                     mesh=self.mesh,
                     chunk=32, caps=(64, 96),
                     fg_fraction=fg_fraction,
-                    label_capacity=max(cfg.extract.cell_capacity * 2, 1024),
-                    cell_capacity=cfg.extract.cell_capacity,
+                    rcap=32 * max(1, segs.shape[2] // 1024),
+                    label_capacity=max(cfg.extract.cell_capacity * 2 * scale,
+                                       1024),
+                    cell_capacity=cfg.extract.cell_capacity * scale,
                     crop_capacity=cfg.extract.crop_capacity,
                     out_size=cfg.extract.out_size,
                     min_votes=cfg.ensemble.min_votes,

@@ -138,6 +138,44 @@ def train_step(model: CAE, params, batch_stats, opt_state, batch, key, tx, aug_c
     return params, new_bs, opt_state, loss, mae
 
 
+@partial(jax.jit, static_argnames=("model", "tx", "aug_cfg"), donate_argnums=(1, 2, 3))
+def train_epoch(model: CAE, params, batch_stats, opt_state, batches, keys, tx, aug_cfg):
+    """One EPOCH as a single dispatch: `lax.scan` of the train step over the
+    pre-shuffled (steps, bs, H, W, 1) batch tensor + per-step augment keys.
+
+    Bit-identical to `steps` sequential `train_step` calls (same key
+    sequence, same update order — scan is sequential), but ONE dispatch
+    instead of `steps`: on the remote-attached chip each dispatch costs a
+    ~35 ms tunnel round trip, which made the per-step loop tunnel-bound
+    (measured 557.8 cells/s at batch 32 vs the ~920 ceiling the dispatch
+    floor alone imposes; BENCH.md r4s6)."""
+
+    def body(carry, xs):
+        p, bs_, opt = carry
+        batch, key = xs
+        batch = augment_batch(key, batch, aug_cfg)
+
+        def loss_fn(pp):
+            (recon, _), updates_ = model.apply(
+                {"params": pp, "batch_stats": bs_}, batch, train=True,
+                mutable=["batch_stats"],
+            )
+            diff = batch - recon
+            loss = jnp.mean(diff * diff)
+            mae = jnp.mean(jnp.abs(diff))
+            return loss, (mae, updates_["batch_stats"])
+
+        (loss, (mae, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, opt = tx.update(grads, opt, p)
+        p = optax.apply_updates(p, updates)
+        return (p, new_bs, opt), (loss, mae)
+
+    (params, batch_stats, opt_state), (losses, maes) = jax.lax.scan(
+        body, (params, batch_stats, opt_state), (batches, keys)
+    )
+    return params, batch_stats, opt_state, losses, maes
+
+
 @partial(jax.jit, static_argnames=("model",))
 def eval_metrics(model: CAE, params, batch_stats, x):
     recon, _ = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
@@ -232,27 +270,31 @@ def fit_cae(
 
     for epoch in range(start_epoch, train_cfg.epochs):
         perm = rng.permutation(len(X_train))[: steps * bs].reshape(steps, bs)
-        losses, maes = [], []
-        for step in range(steps):
+        # same key sequence as the historical per-step loop (bit-identical
+        # augmentation), then ONE scanned dispatch for the whole epoch
+        # (train_epoch docstring: the per-step loop was tunnel-bound)
+        step_keys = []
+        for _ in range(steps):
             key, sk = jax.random.split(key)
-            batch = jnp.asarray(X_train[perm[step]])
-            if mesh is not None:
-                # shard the batch over 'data' (params are replicated); GSPMD
-                # turns the BN/grad batch reductions into psums, so the math
-                # equals the single-device step up to float reassociation
-                # (asserted by tests/test_sharded_training.py)
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            step_keys.append(sk)
+        step_keys = jnp.stack(step_keys)
+        batches = jnp.asarray(X_train[perm])      # (steps, bs, H, W, 1)
+        if mesh is not None:
+            # shard the batch dim over 'data' (params are replicated); GSPMD
+            # turns the BN/grad batch reductions into psums, so the math
+            # equals the single-device step up to float reassociation
+            # (asserted by tests/test_sharded_training.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-                batch = jax.device_put(
-                    batch, NamedSharding(mesh, P("data", None, None, None))
-                )
-            params, batch_stats, opt_state, loss, mae = train_step(
-                model, params, batch_stats, opt_state, batch, sk, tx, aug_cfg
+            batches = jax.device_put(
+                batches, NamedSharding(mesh, P(None, "data", None, None, None))
             )
-            losses.append(loss)
-            maes.append(mae)
-        train_loss = float(jnp.mean(jnp.stack(losses)))
-        train_mae = float(jnp.mean(jnp.stack(maes)))
+        params, batch_stats, opt_state, losses, maes = train_epoch(
+            model, params, batch_stats, opt_state, batches, step_keys, tx,
+            aug_cfg,
+        )
+        train_loss = float(jnp.mean(losses))
+        train_mae = float(jnp.mean(maes))
         val_loss, val_mae = (float(v) for v in eval_metrics(model, params, batch_stats, X_val_j))
         history.append(loss=train_loss, mae=train_mae, val_loss=val_loss, val_mae=val_mae, lr=lr)
         if verbose:

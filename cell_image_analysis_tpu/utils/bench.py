@@ -215,22 +215,32 @@ def _batch_pipeline(model, params, frame_batch: int = 8, fused: bool = True,
     if backend == "stardist":
         # label-map path: StarDist predict_instances per frame; no run-table,
         # so no fallback/fg_fraction knobs
+        # Capacity knobs SCALE WITH FRAME AREA (BENCH.md r4s3: the r2s8
+        # 2048^2 row and the first 4096^2 run silently under-extracted —
+        # max_candidates=256 top-K binds far below the planted density at
+        # plate scale).  Env overrides for the plate-scale scripts.
         sd_kw = dict(
             max_candidates=int(os.environ.get("CIA_BENCH_SD_CAND", "256")),
             raster_patch=int(os.environ.get("CIA_BENCH_SD_PATCH", "96")),
             raster_cap=int(os.environ.get("CIA_BENCH_SD_RCAP", "128")),
             unet_dtype=os.environ.get("CIA_BENCH_SD_DTYPE", "float32"),
         )
+        nms_pairs = os.environ.get("CIA_BENCH_SD_NMSPAIRS")
+        if nms_pairs is not None:
+            sd_kw["nms_max_pairs"] = int(nms_pairs)
         segment_fn = stardist_backend(**sd_kw)
         # exact twin: re-run target on run-table, tiled-raster (per-tile
         # m_cap), or NMS-pair-budget overflow — pixel-path stats, scatter
         # raster (no tile cap), exact K*K NMS pairs
+        fb_kw = dict(sd_kw)
+        fb_kw["nms_max_pairs"] = sd_kw["max_candidates"] ** 2
         fallback = stardist_backend(
-            runs_props=False, raster_mode="scatter",
-            nms_max_pairs=sd_kw["max_candidates"] ** 2, **sd_kw)
+            runs_props=False, raster_mode="scatter", **fb_kw)
         full_kw = dict(label_capacity=(segment_fn.cfg.raster_cap
                                        or segment_fn.cfg.max_candidates),
-                       cell_capacity=128, fallback_segment_fn=fallback,
+                       cell_capacity=int(os.environ.get(
+                           "CIA_BENCH_SD_CCAP", "128")),
+                       fallback_segment_fn=fallback,
                        # rcap=32 measured +8% over 64 (scripts/sweep_fb_rcap);
                        # overflow routes to the exact label path, so the knob
                        # is a speed-only choice
@@ -403,6 +413,90 @@ def load_cpu_baseline(backend: str = "threshold") -> float | None:
         with open(path) as f:
             return json.load(f)["cells_per_sec"]
     return None
+
+
+_BASELINE_TRAIN_PATH = os.path.join(_REPO_ROOT, "CPU_BASELINE_TRAIN.json")
+
+
+def run_cpu_train_reference(n_cells: int = 2048, epochs: int = 2) -> dict:
+    """Keras-on-CPU CAE training throughput — the reference's hot loop #3
+    (CAE_improved_modeltrain.py:231-302): `model.fit` on synthetic 64x64
+    cells, batch 32, Adam(1e-3)/MSE/MAE, 80/20 split.  No
+    ImageDataGenerator — GENEROUS to the CPU side, since the device bench
+    augments on-device inside train_step; the reference's datagen.flow adds
+    host-side augmentation cost on top of this number.
+
+    Writes CPU_BASELINE_TRAIN.json.  Re-run after any change to the
+    benchmarked training semantics."""
+    os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+    from sklearn.model_selection import train_test_split
+
+    from cell_image_analysis_tpu.io.keras_interop import (
+        _require_keras,
+        build_keras_cae,
+    )
+    from cell_image_analysis_tpu.utils.synthetic import make_cells
+
+    keras = _require_keras()
+    rng = np.random.default_rng(3)
+    X = make_cells(rng, n_cells)[..., None].astype(np.float32)
+    X_train, X_val = train_test_split(X, test_size=0.2, random_state=42)
+
+    auto, _enc = build_keras_cae()
+    auto.compile(optimizer=keras.optimizers.Adam(1e-3), loss="mse",
+                 metrics=["mae"])
+    bs = 32
+    # warmup epoch compiles/initializes the TF graph machinery
+    auto.fit(X_train, X_train, batch_size=bs, epochs=1,
+             validation_data=(X_val, X_val), verbose=0)
+    t0 = time.perf_counter()
+    auto.fit(X_train, X_train, batch_size=bs, epochs=epochs,
+             validation_data=(X_val, X_val), verbose=0)
+    dt = time.perf_counter() - t0
+    steps = len(X_train) // bs
+    cells = steps * bs * epochs
+    res = dict(cells=cells, seconds=dt, cells_per_sec=cells / dt,
+               n_cells=n_cells, epochs=epochs, batch_size=bs,
+               stack="keras-cpu")
+    with open(_BASELINE_TRAIN_PATH, "w") as f:
+        json.dump(res, f, indent=1)
+    return res
+
+
+def run_train_bench(n_cells: int = 2048, epochs: int = 4) -> str:
+    """On-chip CAE training throughput (VERDICT r3 item 6): time the REAL
+    production `fit_cae` loop (train/trainer.py — on-device augmentation +
+    train_step + per-epoch val eval + the Keras callback triple) on
+    synthetic cells, batch 32, after a 1-epoch compile warmup.  The
+    per-epoch `float(...)` history fetches are explicit host syncs, so the
+    timing is tunnel-correct (CLAUDE.md: block_until_ready does not
+    synchronize here).  cells/s = train cells consumed per wall second,
+    computed identically to run_cpu_train_reference."""
+    from cell_image_analysis_tpu.config import TrainConfig
+    from cell_image_analysis_tpu.train.trainer import fit_cae
+    from cell_image_analysis_tpu.utils.synthetic import make_cells
+
+    rng = np.random.default_rng(3)
+    X = make_cells(rng, n_cells)[..., None].astype(np.float32)
+    bs = 32
+    fit_cae(X, train_cfg=TrainConfig(epochs=1), verbose=False)  # compile
+    t0 = time.perf_counter()
+    fit_cae(X, train_cfg=TrainConfig(epochs=epochs), verbose=False)
+    dt = time.perf_counter() - t0
+    n_train = len(X) - int(len(X) * 0.2)
+    steps = n_train // bs
+    cells_per_sec = steps * bs * epochs / dt
+    base = None
+    if os.path.exists(_BASELINE_TRAIN_PATH):
+        with open(_BASELINE_TRAIN_PATH) as f:
+            base = json.load(f)["cells_per_sec"]
+    out = {
+        "metric": "cae_train_cells_per_sec_per_chip",
+        "value": round(cells_per_sec, 2),
+        "unit": "cells/s/chip",
+        "vs_baseline": round(cells_per_sec / base, 2) if base else None,
+    }
+    return json.dumps(out)
 
 
 def run_bench(n_frames: int = 48, size: int = 1024, n_cells: int = 80,

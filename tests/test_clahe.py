@@ -41,9 +41,11 @@ def test_clahe_matches_oracle_various_sizes(rng):
     for im, out in zip(imgs, outs):
         ref = equalize_adapthist_np(im, clip_limit=0.02)
         # integer-valued inputs take the exact shared quantization path
-        # (ops/clahe._quantize14 == oracle int round-half-even), so the only
-        # residue is the f32 interpolation/rescale (~1e-7); knife-edge
-        # quantization flips (6e-5, the r3 parity-flip amplifier) are gone
+        # (ops/clahe._quantize14 == oracle int round-half-even) AND the
+        # exact-integer bilinear blend (S // (kh*kw) on both sides), so the
+        # only residue is the final f32-vs-f64 min-max rescale (~1e-7);
+        # knife-edge quantization AND blend-floor flips (6e-5 each, the
+        # r3 parity-flip amplifiers) are gone
         np.testing.assert_allclose(out, ref, atol=2e-6, err_msg=f"size {im.shape}")
 
 

@@ -69,7 +69,8 @@ def _clahe_literal(image, clip_limit=0.02, nbins=256, grid=8):
 
     ns_h = padded.shape[0] // kh - 1
     ns_w = padded.shape[1] // kw - 1
-    clim = max(1, int(clip_limit * kh * kw))
+    # f32 product per the oracle's documented divergence 4 (device mirror)
+    clim = max(1, int(np.float32(clip_limit) * np.float32(kh * kw)))
 
     maps = {}
     for ty in range(ns_h):
@@ -90,17 +91,19 @@ def _clahe_literal(image, clip_limit=0.02, nbins=256, grid=8):
         for x in range(w):
             yp, xp = y + pad_top, x + pad_left
             ty, tx = yp // kh, xp // kw
-            cy, cx = (yp % kh) / kh, (xp % kw) / kw
+            ay, ax = yp % kh, xp % kw
             b = binned[yp, xp]
-            acc = 0.0
+            # exact integer bilinear blend: floor(S / (kh*kw)) per the
+            # oracle's documented divergence 3
+            acc = 0
             for ey in (0, 1):
                 my = min(max(ty - 1 + ey, 0), ns_h - 1)
-                wy = cy if ey else 1.0 - cy
+                ny = ay if ey else kh - ay
                 for ex in (0, 1):
                     mx = min(max(tx - 1 + ex, 0), ns_w - 1)
-                    wx = cx if ex else 1.0 - cx
-                    acc += wy * wx * maps[(my, mx)][b]
-            out[y, x] = np.floor(acc)
+                    nx = ax if ex else kw - ax
+                    acc += int(ny) * int(nx) * maps[(my, mx)][b]
+            out[y, x] = acc // (kh * kw)
     lo2, hi2 = out.min(), out.max()
     if hi2 <= lo2:
         return np.zeros_like(out)

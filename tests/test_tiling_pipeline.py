@@ -76,6 +76,14 @@ def test_tiled_stardist_matches_fused_1024(rng):
     from cell_image_analysis_tpu.parallel.tiling import tiled_extract_cells_stardist
     from cell_image_analysis_tpu.utils.bench import stardist_backend
 
+    # this is the suite's largest graph (K=4096 NMS over 8 shard_map
+    # devices); on top of ~180 earlier tests' cached executables the XLA:CPU
+    # allocator hard-aborts (std::bad_alloc -> SIGABRT, r4: twice at
+    # exactly this test, while the module alone passes).  Dropping the
+    # accumulated compile cache bounds the peak.
+    import jax
+
+    jax.clear_caches()
     mesh = make_mesh(8)
     model, params, _ = _fit_params()
     frame = make_frame(rng, size=1024, n_cells=50)
@@ -94,13 +102,16 @@ def test_tiled_stardist_matches_fused_1024(rng):
     # whole-frame default budget (measured >40k candidate pairs at K=1024 —
     # the 8192 default silently kept duplicate polygons before the overflow
     # flag existed); equality needs a non-binding budget on both sides.
-    # max_candidates=2048: the 1024 frame-wide top-K still bound (~2000
-    # above-threshold prob pixels at 50 cells — a dropped candidate at
-    # (424, 852) was the last 44-vs-45 mismatch).
-    sd = stardist_backend(max_candidates=2048, raster_mode="scatter",
-                          nms_max_pairs=1 << 18)
-    fallback = stardist_backend(max_candidates=2048, runs_props=False,
-                                raster_mode="scatter", nms_max_pairs=1 << 18)
+    # max_candidates=4096: the frame-wide top-K must not bind (2048 bound
+    # at ~2000 above-threshold prob pixels with the r2 sparse weights — a
+    # dropped candidate at (424, 852) was the 44-vs-45 mismatch — and
+    # bound again with the r4 dense-regime artifact, 59-vs-63; the
+    # per-tile top-K always covers more, so a binding K shows up as
+    # fused < tiled exactly like this).
+    sd = stardist_backend(max_candidates=4096, raster_mode="scatter",
+                          nms_max_pairs=1 << 19)
+    fallback = stardist_backend(max_candidates=4096, runs_props=False,
+                                raster_mode="scatter", nms_max_pairs=1 << 19)
     scores_ref, stats_ref = score_frames_fused(
         model, params, jnp.asarray(seg)[None], jnp.asarray(green)[None],
         sd, fallback_segment_fn=fallback, chunk=32, caps=(64, 96),
