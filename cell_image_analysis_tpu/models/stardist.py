@@ -118,7 +118,14 @@ def _predict_instances_impl(
     # means the top-K likely dropped whole cells
     neigh = jax.lax.reduce_window(
         prob, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
-    n_peaks = jnp.sum((prob >= neigh) & (prob > prob_thresh))
+    # count only grid pixels inside the UNPADDED frame: the input is
+    # reflect-padded to the U-Net alignment, so a real peak within the pad
+    # distance of a border has a mirror twin in the pad region that would
+    # double-count it and spuriously trip the (conservative-direction)
+    # overflow flag, triggering a useless exact-fallback re-run
+    in_img = ((jnp.arange(hp)[:, None] * gy < height)
+              & (jnp.arange(wp)[None, :] * gx < width))
+    n_peaks = jnp.sum((prob >= neigh) & (prob > prob_thresh) & in_img)
     cand_ovf = n_peaks > max_candidates
     rows = (top_i // wp).astype(jnp.float32) * gy
     cols = (top_i % wp).astype(jnp.float32) * gx

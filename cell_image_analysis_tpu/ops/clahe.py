@@ -28,6 +28,7 @@ Static-shape strategy (SURVEY.md "hard parts"):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -279,6 +280,34 @@ def _clahe_one(
     corner_w = jnp.stack(corner_w)           # (4, P) integer-valued f32
     area_i = kh * kw                         # int32 blend denominator
 
+    # measurement knobs (VERDICT r4 item 6; read at TRACE time like the
+    # other CIA_* probe knobs — each probe step runs a fresh process).
+    # CIA_CLAHE_MXU_VARIANT selects the D-matmul formulation; CIA_CLAHE_SEP
+    # selects the separable row/col corner contraction.  Every variant is
+    # EXACT (bit-identical to the oracle) — see the notes at each branch;
+    # tests/test_clahe.py parametrizes all of them against "scatter".
+    mxu_variant = os.environ.get("CIA_CLAHE_MXU_VARIANT", "split")
+    sep = os.environ.get("CIA_CLAHE_SEP", "0") == "1"
+
+    if sep:
+        # separable blend operands: per-pixel 2-hot x/y weight vectors.
+        # EXACT despite the re-bracketing: since r4s1 every quantity is an
+        # integer carried in f32 — rowv = sum_mx Wx*D <= kw * 16383 < 2^24
+        # and S = sum_my Wy*rowv <= kh*kw*16383 < 2^24 (asserted in
+        # clahe_cells) — so the integer result equals the 4-corner sum
+        # regardless of association (BENCH.md's old "would need the oracle
+        # contract relaxed" note predates the exact-integer blend).
+        # Clamped edges make corners coincide; the 2-hot weights ADD at the
+        # shared index, which is again the same integer sum.
+        ns_ids = jnp.arange(ns_cap)
+        z2 = jnp.zeros((cap, cap), jnp.int32)  # broadcast (cap,1)/(1,cap) ops
+        sep_ops = [(a + z2).reshape(-1) for a in (
+            jnp.clip(pty - 1, 0, ns_h - 1), jnp.clip(pty, 0, ns_h - 1),
+            kh - ay, ay,
+            jnp.clip(ptx - 1, 0, ns_w - 1), jnp.clip(ptx, 0, ns_w - 1),
+            kw - ax, ax,
+        )]
+
     P = cap * cap
     if interp_impl == "mxu":
         pblk = 2048
@@ -287,10 +316,15 @@ def _clahe_one(
         ct_b = jnp.pad(corner_tiles, ((0, 0), (0, ppad))).reshape(4, n_pb, pblk).transpose(1, 0, 2)
         cw_b = jnp.pad(corner_w, ((0, 0), (0, ppad))).reshape(4, n_pb, pblk).transpose(1, 0, 2)
         bin_pb = jnp.pad(binned.reshape(-1), (0, ppad)).reshape(n_pb, pblk)
+        if sep:
+            sep_b = jnp.stack([
+                jnp.pad(a, (0, ppad)).reshape(n_pb, pblk) for a in sep_ops
+            ], axis=1)                       # (n_pb, 8, pblk)
+        else:
+            sep_b = jnp.zeros((n_pb, 0, pblk), jnp.int32)
 
         def interp_step(_, args):
-            ct, cw, b = args                 # (4, pblk), (4, pblk), (pblk,)
-            Bm = (b[:, None] == bin_ids2[None, :]).astype(jnp.float32)
+            ct, cw, b, sp = args             # (4, pblk), (4, pblk), (pblk,)
             # D[p, t] = maps[t, bin(p)] — ONE matmul shared by all four
             # corners (the old per-corner rows = T_c @ maps spent 4x the
             # MXU FLOPs computing all 256 bins per pixel to use one).  Each
@@ -306,11 +340,45 @@ def _clahe_one(
             # the matmul FLOPs (vs 3x for precision="high").
             dnum = (((1,), (1,)), ((), ()))
             if prec.ablated("clahe"):        # measurement only: single pass
+                Bm = (b[:, None] == bin_ids2[None, :]).astype(jnp.float32)
                 D = jax.lax.dot_general(
                     Bm, maps_f, dimension_numbers=dnum,
                     preferred_element_type=jnp.float32,
                 )
+            elif mxu_variant == "bf16":
+                # same hi/lo split with EXPLICIT bf16 operands: one-hots
+                # are 0/1 (bf16-exact), maps_hi is 64*n with n <= 255 and
+                # the remainder < 64 (both bf16-exact: 8-bit mantissa
+                # covers integers <= 256 times a power of two), so the
+                # f32-accumulated single passes are unchanged bit-for-bit
+                # while the operand HBM bytes halve.
+                Bm16 = (b[:, None] == bin_ids2[None, :]).astype(jnp.bfloat16)
+                maps_hi = jnp.floor(maps_f * (1.0 / 64.0)) * 64.0
+                D = jax.lax.dot_general(
+                    Bm16, maps_hi.astype(jnp.bfloat16), dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    Bm16, (maps_f - maps_hi).astype(jnp.bfloat16),
+                    dimension_numbers=dnum,
+                    preferred_element_type=jnp.float32,
+                )
+            elif mxu_variant == "int8":
+                # two base-128 digit matmuls on the int MXU path: int8
+                # operands (quarter the f32 bytes), int32 accumulation —
+                # exact by construction (digits <= 127, counts < 2^24).
+                Bm8 = (b[:, None] == bin_ids2[None, :]).astype(jnp.int8)
+                hi7 = (maps // 128).astype(jnp.int8).T
+                lo7 = (maps % 128).astype(jnp.int8).T
+                dnum8 = (((1,), (0,)), ((), ()))
+                D = (128 * jax.lax.dot_general(
+                    Bm8, hi7, dimension_numbers=dnum8,
+                    preferred_element_type=jnp.int32,
+                ) + jax.lax.dot_general(
+                    Bm8, lo7, dimension_numbers=dnum8,
+                    preferred_element_type=jnp.int32,
+                )).astype(jnp.float32)
             else:
+                Bm = (b[:, None] == bin_ids2[None, :]).astype(jnp.float32)
                 maps_hi = jnp.floor(maps_f * (1.0 / 64.0)) * 64.0
                 D = jax.lax.dot_general(
                     Bm, maps_hi, dimension_numbers=dnum,
@@ -319,14 +387,28 @@ def _clahe_one(
                     Bm, maps_f - maps_hi, dimension_numbers=dnum,
                     preferred_element_type=jnp.float32,
                 )                            # (pblk, n_tiles)
-            vals = 0.0
-            for c in range(4):
-                T = (ct[c][:, None] == tile_ids[None, :]).astype(jnp.bfloat16)
-                picked = jnp.sum(T * D, axis=-1)
-                vals = vals + cw[c] * picked
+            if sep:
+                my0b, my1b, ny0b, ny1b, mx0b, mx1b, nx0b, nx1b = (
+                    sp[i] for i in range(8))
+                Dr = D.reshape(D.shape[0], ns_cap, ns_cap)
+                Wx = (nx0b[:, None] * (ns_ids[None, :] == mx0b[:, None])
+                      + nx1b[:, None] * (ns_ids[None, :] == mx1b[:, None])
+                      ).astype(jnp.float32)  # (pblk, ns_cap)
+                rowv = jnp.sum(Dr * Wx[:, None, :], axis=-1)
+                Wy = (ny0b[:, None] * (ns_ids[None, :] == my0b[:, None])
+                      + ny1b[:, None] * (ns_ids[None, :] == my1b[:, None])
+                      ).astype(jnp.float32)
+                vals = jnp.sum(rowv * Wy, axis=-1)
+            else:
+                vals = 0.0
+                for c in range(4):
+                    T = (ct[c][:, None] == tile_ids[None, :]).astype(jnp.bfloat16)
+                    picked = jnp.sum(T * D, axis=-1)
+                    vals = vals + cw[c] * picked
             return None, vals
 
-        _, out_blocks = jax.lax.scan(interp_step, None, (ct_b, cw_b, bin_pb))
+        _, out_blocks = jax.lax.scan(interp_step, None,
+                                     (ct_b, cw_b, bin_pb, sep_b))
         S = out_blocks.reshape(-1)[:P].astype(jnp.int32)
         out = (S // area_i).reshape(cap, cap).astype(jnp.float32)
     else:

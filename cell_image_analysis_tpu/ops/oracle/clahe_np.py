@@ -48,9 +48,14 @@ not installed; each is bounded and documented):
   this oracle bit-for-bit instead of inheriting f32-vs-f64 knife-edge
   flips (the r3 parity residue, BENCH.md r3s3/r4s1);
 - the clip limit is computed as float32(clip_limit) * float32(kh*kw)
-  truncated, mirroring the device kernel (f64 is unavailable on TPU); vs
-  skimage's float64 product this can differ by one count when the product
-  sits within ~1e-5 of an integer (e.g. 0.02 * 100).
+  truncated, mirroring the device kernel (f64 is unavailable on TPU).  In
+  principle this could differ from skimage's float64 product by one count
+  at knife edges; MEASURED over every reachable tile size (kernel side =
+  max(1, s // 8), s <= 256 — tests/test_clahe.py::
+  test_clip_limit_f32_vs_f64_divergence_bounded) the divergence class is
+  EMPTY: products like 0.02 * 100 land within half an f32 ulp of the
+  integer and round back to it, so f32 and f64 clip limits agree
+  everywhere the pipeline can reach.
 All four are far inside the 1e-3 anomaly-rate tolerance budgeted in
 BASELINE.md.  tests/test_clahe_golden.py checks this module against an
 independently written literal-loop transcription of the same published

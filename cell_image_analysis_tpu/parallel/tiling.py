@@ -49,6 +49,11 @@ class TiledCells(NamedTuple):
     # silent loss).  None on the threshold backend.  Callers re-run with
     # raster_mode="scatter" when set.
     raster_overflow: jax.Array | None = None
+    # () bool — some tile had more QC-passing cells than cell_capacity, so
+    # the fixed-size nonzero selection TRUNCATED (silent cell loss without
+    # this flag — the same class as the r4s3 max_candidates bind).  Callers
+    # re-run with a larger cell_capacity when set.
+    cell_overflow: jax.Array | None = None
 
 
 def _halo_exchange(tile: jax.Array, halo: int, axis: str) -> jax.Array:
@@ -146,6 +151,15 @@ def _cells_from_tile_labels(
     cells = jnp.where(valid[:, None, None], cells, 0.0)
 
     n_total = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), axis)
+    # capacity guard: more geo-passing instances than cell_capacity means
+    # the fixed-size nonzero selection above dropped cells on this tile
+    cap_ovf = (
+        jax.lax.psum(
+            (jnp.sum(geo.astype(jnp.int32)) > cell_capacity).astype(jnp.int32),
+            axis,
+        )
+        > 0
+    )
     out = (
         cells[None], valid[None],
         jnp.where(valid, props.area[sc], 0)[None],
@@ -153,7 +167,7 @@ def _cells_from_tile_labels(
         jnp.where(valid, mean, 0.0)[None],
         jnp.where(valid, std, 0.0)[None],
     )
-    return out + (n_total,)
+    return out + (n_total, cap_ovf)
 
 
 def _shard_map_kwargs():
@@ -174,6 +188,14 @@ def _shard_map_kwargs():
         "mesh", "halo", "cell_capacity", "crop_capacity", "label_capacity",
         "out_size", "threshold_percentile", "border_margin", "min_area",
         "max_area", "connectivity", "opening",
+        # norm_pmin/norm_pmax MUST be static: percentile_select computes its
+        # rank arithmetic in host python-f64 (ops/percentile.py — the traced
+        # version was vulnerable to XLA refolding).  jit does not trace
+        # UNPROVIDED defaults, which masked this for every caller that
+        # relied on the 3.0/99.8 defaults; the screening tiled route passes
+        # them explicitly and crashed until r5
+        # (tests/test_screening_tiled_route.py).
+        "norm_pmin", "norm_pmax",
     ),
 )
 def tiled_extract_cells(
@@ -239,10 +261,12 @@ def tiled_extract_cells(
         tile_fn,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                   P(), P()),
         **_shard_map_kwargs(),
     )
-    cells, valid, area, ecc, mean, std, n = fn(mask, green.astype(jnp.float32))
+    cells, valid, area, ecc, mean, std, n, cap_ovf = fn(
+        mask, green.astype(jnp.float32))
     return TiledCells(
         cells=cells.reshape(-1, out_size, out_size),
         valid=valid.reshape(-1),
@@ -251,6 +275,7 @@ def tiled_extract_cells(
         mean_intensity=mean.reshape(-1),
         std_intensity=std.reshape(-1),
         n_cells=n,
+        cell_overflow=cap_ovf,
     )
 
 
@@ -366,10 +391,10 @@ def tiled_extract_cells_stardist(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                   P(), P()),
+                   P(), P(), P()),
         **_shard_map_kwargs(),
     )
-    cells, valid, area, ecc, mean, std, n, ovf = fn(
+    cells, valid, area, ecc, mean, std, n, cap_ovf, ovf = fn(
         norm, green.astype(jnp.float32))
     return TiledCells(
         cells=cells.reshape(-1, out_size, out_size),
@@ -380,4 +405,5 @@ def tiled_extract_cells_stardist(
         std_intensity=std.reshape(-1),
         n_cells=n,
         raster_overflow=ovf,
+        cell_overflow=cap_ovf,
     )

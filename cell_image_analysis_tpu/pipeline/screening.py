@@ -319,8 +319,17 @@ class ProductionMutantScreening:
             rows = seg.shape[0] // self.mesh.shape["data"]
             stardist = (cfg.seg.backend != "threshold"
                         and self.unet_variables is not None)
+            align = 2 ** cfg.seg.unet_depth
+            halo = (min(cfg.extract.crop_capacity, rows) // align * align
+                    if stardist else min(cfg.extract.crop_capacity, rows))
+            # per-TILE area scaling (the r4s3 rule applied to this route):
+            # each device segments a (rows + 2*halo, W) tile, so the
+            # capacity knobs must scale with THAT area, not the 1024^2
+            # tuning baseline — the unscaled self._segment.cfg silently
+            # candidate-capped large tiled plates (ADVICE r4 #1)
+            tile_scale = self._capacity_scale(rows + 2 * halo, seg.shape[1])
             qc_kw = dict(
-                cell_capacity=cfg.extract.cell_capacity,
+                cell_capacity=cfg.extract.cell_capacity * tile_scale,
                 crop_capacity=cfg.extract.crop_capacity,
                 out_size=cfg.extract.out_size,
                 border_margin=cfg.qc.border_margin,
@@ -334,9 +343,14 @@ class ProductionMutantScreening:
                 if stardist:
                     import dataclasses
 
-                    align = 2 ** cfg.seg.unet_depth
-                    halo = min(cfg.extract.crop_capacity, rows) // align * align
-                    seg_cfg = self._segment.cfg  # raster_cap-replaced twin
+                    base = self._segment.cfg  # raster_cap-replaced twin
+                    seg_cfg = base if tile_scale == 1 else dataclasses.replace(
+                        base,
+                        max_candidates=base.max_candidates * tile_scale,
+                        raster_cap=((base.raster_cap or base.max_candidates)
+                                    * tile_scale),
+                        nms_max_pairs=base.nms_max_pairs * tile_scale,
+                    )
                     tiled = tiled_extract_cells_stardist(
                         jnp.asarray(seg.astype(np.float32)),
                         jnp.asarray(green.astype(np.float32)),
@@ -345,8 +359,9 @@ class ProductionMutantScreening:
                     )
                     if tiled.raster_overflow is not None and bool(tiled.raster_overflow):
                         # repo rule: capacity overflow -> exact fallback
-                        # (per-tile m_cap dropped polygons; re-render with
-                        # the scatter rasterizer)
+                        # (per-tile m_cap dropped polygons / sparse-NMS pair
+                        # budget; re-render with the scatter rasterizer and
+                        # the exact K*K pair set)
                         print("  tiled raster m_cap overflow -> scatter re-run")
                         tiled = tiled_extract_cells_stardist(
                             jnp.asarray(seg.astype(np.float32)),
@@ -357,17 +372,58 @@ class ProductionMutantScreening:
                                 nms_max_pairs=seg_cfg.max_candidates ** 2),
                             halo=halo, **qc_kw,
                         )
+                        if bool(tiled.raster_overflow):
+                            # the scatter re-run clears raster/NMS overflow
+                            # but cannot clear cand_overflow (same top-K);
+                            # only a bigger max_candidates can
+                            print(
+                                "  WARNING: overflow persists after scatter "
+                                "re-run — max_candidates "
+                                f"({seg_cfg.max_candidates}) likely binds; "
+                                "raise SegConfig.max_candidates"
+                            )
                 else:
                     tiled = tiled_extract_cells(
                         jnp.asarray(seg.astype(np.float32)),
                         jnp.asarray(green.astype(np.float32)),
                         self.mesh,
-                        halo=min(cfg.extract.crop_capacity, rows),
+                        halo=halo,
                         threshold_percentile=cfg.seg.threshold_percentile,
                         norm_pmin=cfg.seg.norm_pmin,
                         norm_pmax=cfg.seg.norm_pmax,
                         **qc_kw,
                     )
+                if (tiled.cell_overflow is not None
+                        and bool(tiled.cell_overflow)):
+                    # a tile had more QC-passing cells than cell_capacity —
+                    # the selection truncated; re-run once at 4x capacity
+                    # (one recompile), then warn if it still binds
+                    print("  tiled cell_capacity overflow -> 4x re-run")
+                    qc_kw = dict(qc_kw, cell_capacity=qc_kw["cell_capacity"] * 4)
+                    if stardist:
+                        tiled = tiled_extract_cells_stardist(
+                            jnp.asarray(seg.astype(np.float32)),
+                            jnp.asarray(green.astype(np.float32)),
+                            self.mesh, self.unet_variables, seg_cfg=seg_cfg,
+                            halo=halo, **qc_kw,
+                        )
+                    else:
+                        tiled = tiled_extract_cells(
+                            jnp.asarray(seg.astype(np.float32)),
+                            jnp.asarray(green.astype(np.float32)),
+                            self.mesh,
+                            halo=halo,
+                            threshold_percentile=cfg.seg.threshold_percentile,
+                            norm_pmin=cfg.seg.norm_pmin,
+                            norm_pmax=cfg.seg.norm_pmax,
+                            **qc_kw,
+                        )
+                    if bool(tiled.cell_overflow):
+                        print(
+                            "  WARNING: cell_capacity still binds at "
+                            f"{qc_kw['cell_capacity']}/tile — cells were "
+                            "dropped; raise ExtractConfig.cell_capacity"
+                        )
                 valid = np.asarray(tiled.valid)
                 scores = _score_cells_fn(
                     self.model, self.scoring_params, tiled.cells, valid=valid,

@@ -112,10 +112,24 @@ class KerasCallbackState:
         return improved, stop, lr_reduced
 
 
-def make_optimizer(cae_cfg: CAEConfig):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _make_optimizer_cached(lr: float, eps: float):
     return optax.inject_hyperparams(optax.adam)(
-        learning_rate=cae_cfg.learning_rate, b1=0.9, b2=0.999, eps=cae_cfg.adam_eps
+        learning_rate=lr, b1=0.9, b2=0.999, eps=eps
     )
+
+
+def make_optimizer(cae_cfg: CAEConfig):
+    """Identity-stable per (lr, eps): `tx` is a STATIC argname of the jitted
+    train graphs and GradientTransformation hashes by its closure identities,
+    so a fresh tx per fit_cae call would re-trace (and re-fetch the remote
+    compile of) the whole epoch graph on every fit (ADVICE r4 #5 — this
+    biased the train bench low and cost ~1 s per repeat fit on the tunnel).
+    The transformation itself is stateless; sharing it across fits is safe."""
+    return _make_optimizer_cached(cae_cfg.learning_rate, cae_cfg.adam_eps)
 
 
 @partial(jax.jit, static_argnames=("model", "tx", "aug_cfg"), donate_argnums=(1, 2, 3))
@@ -241,7 +255,9 @@ def fit_cae(
         rlr_min_lr=train_cfg.reduce_lr_min_lr,
         rlr_min_delta=train_cfg.reduce_lr_min_delta,
     )
-    best_weights = (params, batch_stats)
+    # copy for the same donation-aliasing reason as the per-epoch snapshot
+    # below (epoch 0's train_epoch call donates these exact buffers)
+    best_weights = jax.tree_util.tree_map(jnp.copy, (params, batch_stats))
     stopped_epoch = 0
     start_epoch = 0
     rng = np.random.default_rng(train_cfg.seed)
@@ -308,9 +324,15 @@ def fit_cae(
         # on the stopping epoch, so the lr update applies before the break
         improved, stop, lr_reduced = cbs.on_epoch_end(val_loss)
         if improved:
-            best_weights = (params, batch_stats)
+            # deep-copy: train_epoch donates params/batch_stats, so a bare
+            # reference would alias buffers the NEXT epoch's call deletes on
+            # backends that honor donation (the real TPU — the CPU mesh
+            # ignores donation, so tests can't see the 'Array has been
+            # deleted' this would raise at restore/checkpoint time)
+            best_weights = jax.tree_util.tree_map(jnp.copy, (params, batch_stats))
             if save_best_fn is not None:
-                save_best_fn({"params": params, "batch_stats": batch_stats})
+                save_best_fn({"params": best_weights[0],
+                              "batch_stats": best_weights[1]})
         if lr_reduced:
             lr = cbs.lr
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)

@@ -479,11 +479,19 @@ def run_train_bench(n_cells: int = 2048, epochs: int = 4) -> str:
     rng = np.random.default_rng(3)
     X = make_cells(rng, n_cells)[..., None].astype(np.float32)
     bs = 32
+    # the warmup shares the timed call's jit cache: make_optimizer memoizes
+    # the tx (a static argname of train_epoch), and epoch count does not
+    # enter the trace, so the epochs=1 warmup compiles everything the
+    # epochs=N run dispatches (ADVICE r4 #5)
     fit_cae(X, train_cfg=TrainConfig(epochs=1), verbose=False)  # compile
     t0 = time.perf_counter()
     fit_cae(X, train_cfg=TrainConfig(epochs=epochs), verbose=False)
     dt = time.perf_counter() - t0
-    n_train = len(X) - int(len(X) * 0.2)
+    # same split fit_cae itself uses (sklearn rounds the test count UP)
+    from sklearn.model_selection import train_test_split
+
+    n_train = len(train_test_split(
+        np.arange(len(X)), test_size=0.2, random_state=42)[0])
     steps = n_train // bs
     cells_per_sec = steps * bs * epochs / dt
     base = None

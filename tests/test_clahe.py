@@ -139,3 +139,76 @@ def test_clahe_ns_cap_12_matches_16_for_min_side_16(rng):
         a = np.asarray(cc(*args, impl=impl, ns_cap=16))
         b = np.asarray(cc(*args, impl=impl, ns_cap=12))
         np.testing.assert_array_equal(a, b, err_msg=impl)
+
+
+def test_clip_limit_f32_vs_f64_divergence_bounded():
+    """ADVICE r4 #4: the oracle (and device kernel) compute the clip limit
+    as float32(0.02) * float32(kh*kw) truncated, while skimage uses the
+    float64 product.  The documented claim (ops/oracle/clahe_np.py header)
+    is that the two can differ by at most ONE count, and only where the f64
+    product sits within rounding distance of an integer.  Measure it over
+    every tile size the pipeline can produce (kernel side = max(1, s // 8)
+    for crop sides 1..256, both axes) so the bound stays a measurement, not
+    an assertion."""
+    sides = sorted({max(1, s // 8) for s in range(1, 257)})
+    diverged = []
+    for kh in sides:
+        for kw in sides:
+            f64 = 0.02 * (kh * kw)
+            clim_f64 = max(1, int(f64))
+            clim_f32 = max(1, int(np.float32(0.02) * np.float32(kh * kw)))
+            d = abs(clim_f32 - clim_f64)
+            assert d <= 1, (kh, kw, clim_f32, clim_f64)
+            if d:
+                # divergence is only tolerable at knife edges: the f64
+                # product within rounding distance of an integer
+                assert abs(f64 - round(f64)) < 1e-3, (kh, kw, f64)
+                diverged.append((kh, kw))
+    # MEASURED result (this run of the sweep): the divergence class is
+    # EMPTY — f32(0.02) * f32(kh*kw) rounds back to the same truncated
+    # integer as the f64 product for every reachable tile size (products
+    # like 0.02*100 land within half an f32 ulp of the integer and round
+    # up to it).  The device-pinned f32 clip limit therefore EQUALS the
+    # skimage f64 clip limit everywhere the pipeline can reach; if a code
+    # change widens the reachable sizes and this starts failing, the
+    # one-count bound above still holds and the header doc applies.
+    assert diverged == [], diverged
+
+
+@pytest.mark.parametrize("env", [
+    {"CIA_CLAHE_MXU_VARIANT": "bf16"},
+    {"CIA_CLAHE_MXU_VARIANT": "int8"},
+    {"CIA_CLAHE_SEP": "1"},
+    {"CIA_CLAHE_MXU_VARIANT": "int8", "CIA_CLAHE_SEP": "1"},
+])
+def test_clahe_mxu_variants_bit_identical(rng, env, monkeypatch):
+    """VERDICT r4 item 6 variants: the bf16/int8 D-matmul formulations and
+    the separable row/col blend must be BIT-identical to the scatter path
+    (each is exact by construction — bf16-exact operands, int32 digit
+    accumulation, or integer re-bracketing under the r4s1 exact blend).
+    The env knobs are read at trace time, so clear the jit caches around
+    each parametrization."""
+    import jax
+
+    from cell_image_analysis_tpu.ops.clahe import clahe_cells as cc
+
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    jax.clear_caches()
+    try:
+        sizes = [(11, 64), (64, 64), (97, 150), (33, 47), (192, 192)]
+        cap = 192
+        crops = np.zeros((len(sizes), cap, cap), np.float32)
+        hs, ws = [], []
+        for i, (h, w) in enumerate(sizes):
+            crops[i, :h, :w] = (rng.uniform(size=(h, w)) * 3000).astype(
+                np.float32).round()
+            hs.append(h)
+            ws.append(w)
+        args = (jnp.asarray(crops), jnp.asarray(np.array(hs, np.int32)),
+                jnp.asarray(np.array(ws, np.int32)))
+        ref = np.asarray(cc(*args, impl="scatter"))
+        got = np.asarray(cc(*args, impl="mxu"))
+        np.testing.assert_array_equal(got, ref, err_msg=str(env))
+    finally:
+        jax.clear_caches()  # don't leak env-keyed traces to other tests
