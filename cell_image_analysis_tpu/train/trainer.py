@@ -152,10 +152,9 @@ def train_step(model: CAE, params, batch_stats, opt_state, batch, key, tx, aug_c
     return params, new_bs, opt_state, loss, mae
 
 
-@partial(jax.jit, static_argnames=("model", "tx", "aug_cfg"), donate_argnums=(1, 2, 3))
-def train_epoch(model: CAE, params, batch_stats, opt_state, batches, keys, tx, aug_cfg):
-    """One EPOCH as a single dispatch: `lax.scan` of the train step over the
-    pre-shuffled (steps, bs, H, W, 1) batch tensor + per-step augment keys.
+def _epoch_scan(model: CAE, params, batch_stats, opt_state, batches, keys, tx, aug_cfg):
+    """One EPOCH as `lax.scan` of the train step over the pre-shuffled
+    (steps, bs, H, W, 1) batch tensor + per-step augment keys.
 
     Bit-identical to `steps` sequential `train_step` calls (same key
     sequence, same update order — scan is sequential), but ONE dispatch
@@ -188,6 +187,38 @@ def train_epoch(model: CAE, params, batch_stats, opt_state, batches, keys, tx, a
         body, (params, batch_stats, opt_state), (batches, keys)
     )
     return params, batch_stats, opt_state, losses, maes
+
+
+@partial(jax.jit, static_argnames=("model", "tx", "aug_cfg"), donate_argnums=(1, 2, 3))
+def train_epoch(model: CAE, params, batch_stats, opt_state, batches, keys, tx, aug_cfg):
+    """Mesh-path epoch dispatch: callers pre-shuffle and shard `batches`."""
+    return _epoch_scan(model, params, batch_stats, opt_state, batches, keys, tx, aug_cfg)
+
+
+@partial(jax.jit, static_argnames=("model", "tx", "aug_cfg"), donate_argnums=(1, 2, 3))
+def train_epoch_resident(model: CAE, params, batch_stats, opt_state, X, perm,
+                         keys, X_val, tx, aug_cfg):
+    """Single-device epoch with DEVICE-RESIDENT data (BENCH.md r5s1): the
+    per-epoch host work is reduced to shipping the (steps, bs) int32
+    permutation (~6 KB) and ONE consolidated metric fetch.
+
+    The naive loop shipped `X_train[perm]` (~26 MB at n=2048) through the
+    ~100 ms/MB tunnel every epoch and then paid FOUR separate float()
+    round trips for the history — ~2.7 s/epoch of pure transfer against
+    ~0.15 s of device compute.  Here X stays in HBM across epochs, the
+    shuffle is an on-device leading-axis row gather (exact selection —
+    bit-identical batches), and the epoch-end val evaluation (Keras
+    train=False semantics, eval_metrics' math) is fused into the same
+    dispatch, returning all four scalars as one (4,) array."""
+    batches = X[perm]                     # (steps, bs, H, W, 1) on device
+    params, batch_stats, opt_state, losses, maes = _epoch_scan(
+        model, params, batch_stats, opt_state, batches, keys, tx, aug_cfg)
+    recon, _ = model.apply({"params": params, "batch_stats": batch_stats},
+                           X_val, train=False)
+    diff = X_val - recon
+    metrics = jnp.stack([jnp.mean(losses), jnp.mean(maes),
+                         jnp.mean(diff * diff), jnp.mean(jnp.abs(diff))])
+    return params, batch_stats, opt_state, metrics
 
 
 @partial(jax.jit, static_argnames=("model",))
@@ -284,17 +315,21 @@ def fit_cae(
             if verbose:
                 print(f"Resuming training from epoch {start_epoch + 1}")
 
+    # single-device path: the training set lives in HBM across epochs (see
+    # train_epoch_resident — the per-epoch 26 MB batch upload was the
+    # dominant cost on the tunnel-attached chip)
+    X_train_dev = jnp.asarray(X_train) if mesh is None else None
+
     for epoch in range(start_epoch, train_cfg.epochs):
         perm = rng.permutation(len(X_train))[: steps * bs].reshape(steps, bs)
         # same key sequence as the historical per-step loop (bit-identical
         # augmentation), then ONE scanned dispatch for the whole epoch
-        # (train_epoch docstring: the per-step loop was tunnel-bound)
+        # (_epoch_scan docstring: the per-step loop was tunnel-bound)
         step_keys = []
         for _ in range(steps):
             key, sk = jax.random.split(key)
             step_keys.append(sk)
         step_keys = jnp.stack(step_keys)
-        batches = jnp.asarray(X_train[perm])      # (steps, bs, H, W, 1)
         if mesh is not None:
             # shard the batch dim over 'data' (params are replicated); GSPMD
             # turns the BN/grad batch reductions into psums, so the math
@@ -303,15 +338,24 @@ def fit_cae(
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batches = jax.device_put(
-                batches, NamedSharding(mesh, P(None, "data", None, None, None))
+                jnp.asarray(X_train[perm]),
+                NamedSharding(mesh, P(None, "data", None, None, None))
             )
-        params, batch_stats, opt_state, losses, maes = train_epoch(
-            model, params, batch_stats, opt_state, batches, step_keys, tx,
-            aug_cfg,
-        )
-        train_loss = float(jnp.mean(losses))
-        train_mae = float(jnp.mean(maes))
-        val_loss, val_mae = (float(v) for v in eval_metrics(model, params, batch_stats, X_val_j))
+            params, batch_stats, opt_state, losses, maes = train_epoch(
+                model, params, batch_stats, opt_state, batches, step_keys, tx,
+                aug_cfg,
+            )
+            train_loss = float(jnp.mean(losses))
+            train_mae = float(jnp.mean(maes))
+            val_loss, val_mae = (float(v) for v in eval_metrics(
+                model, params, batch_stats, X_val_j))
+        else:
+            params, batch_stats, opt_state, metrics = train_epoch_resident(
+                model, params, batch_stats, opt_state, X_train_dev,
+                jnp.asarray(perm), step_keys, X_val_j, tx, aug_cfg,
+            )
+            train_loss, train_mae, val_loss, val_mae = (
+                float(v) for v in np.asarray(metrics))  # ONE host fetch
         history.append(loss=train_loss, mae=train_mae, val_loss=val_loss, val_mae=val_mae, lr=lr)
         if verbose:
             print(

@@ -463,7 +463,7 @@ def run_cpu_train_reference(n_cells: int = 2048, epochs: int = 2) -> dict:
     return res
 
 
-def run_train_bench(n_cells: int = 2048, epochs: int = 4) -> str:
+def run_train_bench(n_cells: int = 2048, epochs: int = 12) -> str:
     """On-chip CAE training throughput (VERDICT r3 item 6): time the REAL
     production `fit_cae` loop (train/trainer.py — on-device augmentation +
     train_step + per-epoch val eval + the Keras callback triple) on
@@ -471,7 +471,15 @@ def run_train_bench(n_cells: int = 2048, epochs: int = 4) -> str:
     per-epoch `float(...)` history fetches are explicit host syncs, so the
     timing is tunnel-correct (CLAUDE.md: block_until_ready does not
     synchronize here).  cells/s = train cells consumed per wall second,
-    computed identically to run_cpu_train_reference."""
+    computed identically to run_cpu_train_reference.
+
+    epochs=12: the timed fit pays a ONE-TIME ~26 MB training-set upload
+    (~1.1 s on this tunnel) that the Keras-CPU baseline never pays (its
+    data is in RAM and its compile-warmup epoch is excluded), so short
+    fits understate the steady-state rate the reference's 100-epoch runs
+    would see (measured: epochs=2 1410, 4 1867, 12 2387 cells/s;
+    marginal-epoch rate 2772 — BENCH.md r5s1).  12 epochs amortizes the
+    upload to <10% while keeping the bench under ~10 s warm."""
     from cell_image_analysis_tpu.config import TrainConfig
     from cell_image_analysis_tpu.train.trainer import fit_cae
     from cell_image_analysis_tpu.utils.synthetic import make_cells

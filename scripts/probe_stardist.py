@@ -45,7 +45,13 @@ backend = stardist_backend(
     raster_patch=int(os.environ.get("CIA_BENCH_SD_PATCH", "96")),
     raster_cap=int(os.environ.get("CIA_BENCH_SD_RCAP", "128")),
     runs_props=os.environ.get("CIA_BENCH_SD_RUNS", "1") == "1",
+    nms_max_pairs=(int(os.environ["CIA_BENCH_SD_NMSPAIRS"])
+                   if "CIA_BENCH_SD_NMSPAIRS" in os.environ else None),
 )
+# plate-scale probes (r5, VERDICT r4 item 8): cell_capacity/rcap must scale
+# with area like production's _segment_for, or stage A/full silently bind
+CELL_CAP = int(os.environ.get("CIA_PROBE_CELL_CAP", "128"))
+RCAP = int(os.environ.get("CIA_PROBE_RCAP", "64"))
 cfg = backend.cfg
 model = backend.model
 
@@ -107,7 +113,8 @@ def s2_candidates(segs):
 def s3_nms(segs):
     centers, cd, top_p, valid = s2_candidates(segs)
     keep = jax.vmap(lambda c, d, p, v: star_nms(
-        c, d, p, v, nms_thresh=cfg.nms_thresh, metric=cfg.nms_metric
+        c, d, p, v, nms_thresh=cfg.nms_thresh, metric=cfg.nms_metric,
+        max_pairs=min(cfg.nms_max_pairs, cfg.max_candidates ** 2),
     ))(centers, cd, top_p, valid)
     return centers, cd, top_p, keep
 
@@ -144,10 +151,11 @@ def s5_stage_a(segs, greens):
             lab, _ = lab
         if getattr(backend, "runs_props", False):
             cand, _ = extract_candidates_from_labels_runs(
-                lab, green, label_capacity=lcap, cell_capacity=128)
+                lab, green, label_capacity=lcap, cell_capacity=CELL_CAP,
+                rcap=int(os.environ.get("CIA_BENCH_SD_RUNS_RCAP", "32")))
             return cand
         return extract_candidates(lab, green, label_capacity=lcap,
-                                  cell_capacity=128)
+                                  cell_capacity=CELL_CAP)
     return jax.vmap(one)(segs, greens)
 
 
@@ -169,7 +177,7 @@ def full():
     scores, stats = score_frames_fused(
         smodel, sparams, segs, greens, backend,
         label_capacity=(cfg.raster_cap or cfg.max_candidates),
-        cell_capacity=128, rcap=64,
+        cell_capacity=CELL_CAP, rcap=RCAP,
         chunk=32, caps=(64, 96),
     )
     return len(stats["area"])
