@@ -61,7 +61,22 @@ def pytest_configure(config):
 
 # Modules whose graphs are big enough to tip the cumulative XLA:CPU
 # allocator over in a long-lived suite process (see the isolate marker).
-_ISOLATE_MODULES = {"test_tiling_pipeline.py", "test_plate_screening.py"}
+# Policy: EVERY module that compiles mesh/shard_map or plate-scale graphs
+# runs isolated — the abort point is position-dependent (r4 hit
+# test_tiling_pipeline; with round 5's extra graphs in the main process it
+# moved to test_screening_tiled_route), so isolating only the observed
+# crasher just relocates it.  ~12 extra subprocess spawns cost ~3 min of
+# interpreter+jax startup; the main suite process then never holds a mesh
+# graph.
+_ISOLATE_MODULES = {
+    "test_tiling_pipeline.py",
+    "test_plate_screening.py",
+    "test_screening_tiled_route.py",
+    "test_plate_capacity.py",
+    "test_sharded_scoring.py",
+    "test_sharded_training.py",
+    "test_tiling.py",
+}
 
 
 def pytest_collection_modifyitems(config, items):
